@@ -1,0 +1,303 @@
+"""Native JAX curvature backend.
+
+One engine replaces the reference's four third-party backends (curvlinops / ASDL /
+BackPACK / asdfghjkl behind `CurvatureInterface`, `laplace/curvature/curvature.py:12`):
+per-sample Jacobians via `jacrev` on the flat parameter vector, per-sample gradients
+via `vmap(grad)`, GGN / empirical-Fisher / MC-Fisher / exact-Hessian contractions as
+single einsums on the MXU, and KFAC factor accumulation via functional layer taps
+(see `laplace_jax.curvature.kfac`). Everything here is pure and jit-compatible; the
+Laplace classes jit the per-batch closures once and reuse them across the fit loop.
+
+Loss/factor conventions match the reference exactly
+(`curvature/curvature.py:63-72`): regression uses sum-of-squares with factor 1/2
+(Gaussian log-lik up to constants), classification uses sum cross-entropy with
+factor 1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from laplace_jax.curvature.kfac import kfac_factors
+from laplace_jax.enums import Likelihood
+from laplace_jax.nnmodel import NNModel
+from laplace_jax.utils.matrix import Kron
+
+
+def mse_sum(f: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum((f - y) ** 2)
+
+
+def cross_entropy_sum(f: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(f, axis=-1)
+    return -jnp.sum(jnp.take_along_axis(logp, y[..., None].astype(int), axis=-1))
+
+
+class CurvatureBackend:
+    """Curvature engine for one `NNModel` and likelihood.
+
+    Parameters
+    ----------
+    model : NNModel
+    likelihood : 'classification' | 'regression'
+    curv_type : 'ggn' | 'ef' | 'hessian'
+    stochastic : bool — MC-Fisher instead of exact GGN contraction
+    num_samples : int — MC samples when `stochastic`
+    last_layer : bool — use the φ⊗I closed-form Jacobian
+        (`curvature/curvature.py:131-167`) and restrict curvature to the last
+        layer's parameters (the NNModel must then have only those trainable).
+    subnetwork_indices : optional int array into the canonical flat vector.
+    """
+
+    def __init__(
+        self,
+        model: NNModel,
+        likelihood: Likelihood | str,
+        curv_type: str = "ggn",
+        stochastic: bool = False,
+        num_samples: int = 1,
+        last_layer: bool = False,
+        last_layer_path: Optional[tuple] = None,
+        feature_reduction=None,
+        subnetwork_indices: Optional[jnp.ndarray] = None,
+    ):
+        if likelihood not in (Likelihood.REGRESSION, Likelihood.CLASSIFICATION):
+            raise ValueError("Backend likelihood must be regression or classification.")
+        if curv_type not in ("ggn", "ef", "hessian"):
+            raise ValueError(f"Unknown curv_type {curv_type}.")
+        self.model = model
+        self.likelihood = likelihood
+        self.curv_type = curv_type
+        self.stochastic = stochastic
+        self.num_samples = num_samples
+        self.last_layer = last_layer
+        self.last_layer_path = last_layer_path
+        self.feature_reduction = feature_reduction
+        self.subnetwork_indices = subnetwork_indices
+
+        if likelihood == Likelihood.REGRESSION:
+            self.lossfunc = mse_sum
+            self.factor = 0.5
+        else:
+            self.lossfunc = cross_entropy_sum
+            self.factor = 1.0
+
+    # ------------------------------------------------------------------ jacs
+    def jacobians(self, x, theta: Optional[jnp.ndarray] = None):
+        """Full per-sample Jacobians J (batch, outputs, n_params) and f (batch,
+        outputs) (reference `curvature/curvature.py:88-129`). Differentiable in
+        `x` (for `enable_backprop` use cases) because it is a pure function."""
+        theta = self.model.mean_vector if theta is None else theta
+
+        def f_fn(t):
+            return self.model.apply_vec(t, x)
+
+        Js = jax.jacrev(f_fn)(theta)  # (B, C, P)
+        f = f_fn(theta)
+        if self.subnetwork_indices is not None:
+            Js = Js[:, :, self.subnetwork_indices]
+        return Js, f
+
+    def last_layer_jacobians(self, x, theta_ll: Optional[jnp.ndarray] = None):
+        """Closed-form last-layer Jacobians via features φ.
+
+        flax flatten order within a Dense layer is (bias, kernel); the kernel is
+        input-major (in, out) so `J_kernel[:, c, i*out+o] = φ_i δ_{co}` and
+        `J_bias = I`. Reference equivalent: `curvature/curvature.py:131-167`.
+        """
+        if self.last_layer_path is None:
+            raise ValueError("last_layer_path not set on backend.")
+        f, phi = self.model.apply_with_features(
+            self.model.train_params, x, self.last_layer_path, self.feature_reduction
+        )
+        B = phi.shape[0]
+        C = f.shape[-1]
+        eye = jnp.eye(C, dtype=f.dtype)
+        identity = jnp.broadcast_to(eye, (B, C, C))
+        J_kernel = jnp.einsum("bi,co->bcio", phi, eye).reshape(B, C, -1)
+        # leaf order: bias before kernel (alphabetical flax dict order)
+        has_bias = any(
+            s.path[-1] == "bias" for s in self.model.leaf_specs
+            if _under(s.path, self.last_layer_path)
+        )
+        if has_bias:
+            Js = jnp.concatenate([identity, J_kernel], axis=2)
+        else:
+            Js = J_kernel
+        return Js, f
+
+    def _jacobians_dispatch(self, x):
+        if self.last_layer:
+            return self.last_layer_jacobians(x)
+        return self.jacobians(x)
+
+    # -------------------------------------------------------------- gradients
+    def gradients(self, x, y):
+        """Per-sample loss gradients Gs (batch, n_params) and total loss
+        (reference `curvature/curvature.py:169-210`)."""
+        theta = self.model.mean_vector
+
+        def loss_single(t, xi, yi):
+            f = self.model.apply_vec(t, _expand(xi))
+            return self.lossfunc(f, _expand(yi))
+
+        grad_fn = jax.grad(loss_single)
+        Gs = jax.vmap(grad_fn, in_axes=(None, 0, 0))(theta, x, y)
+        loss = self.lossfunc(self.model.apply_vec(theta, x), y)
+        if self.subnetwork_indices is not None:
+            Gs = Gs[:, self.subnetwork_indices]
+        return Gs, loss
+
+    # ------------------------------------------------------- likelihood middles
+    def _functional_hessian(self, f: jnp.ndarray):
+        """Λ = ∂²(-log lik)/∂f²: None (≡ I) for regression, diag(p)-ppᵀ for
+        classification (reference `curvature/curvature.py:366-373`)."""
+        if self.likelihood == Likelihood.REGRESSION:
+            return None
+        p = jax.nn.softmax(f, axis=-1)
+        return jnp.einsum("bc,ck->bck", p, jnp.eye(f.shape[-1], dtype=f.dtype)) - \
+            jnp.einsum("bc,bk->bck", p, p)
+
+    def _mc_functional_fisher(self, f: jnp.ndarray, key: jax.Array):
+        """MC estimate of E[∇f ∇fᵀ] with sampled labels
+        (reference `curvature/curvature.py:341-364`)."""
+        F = jnp.zeros((f.shape[0], f.shape[-1], f.shape[-1]), dtype=f.dtype)
+        for i in range(self.num_samples):
+            k = jax.random.fold_in(key, i)
+            if self.likelihood == Likelihood.REGRESSION:
+                y_sample = f + jax.random.normal(k, f.shape, dtype=f.dtype)
+                grad_sample = f - y_sample
+            else:
+                p = jax.nn.softmax(f, axis=-1)
+                cls = jax.random.categorical(k, f, axis=-1)
+                y_sample = jax.nn.one_hot(cls, f.shape[-1], dtype=f.dtype)
+                grad_sample = p - y_sample
+            F = F + jnp.einsum("bc,bk->bck", grad_sample, grad_sample) / self.num_samples
+        return F
+
+    # ------------------------------------------------------------------ full
+    def full(self, x, y, N: int = 1, key: Optional[jax.Array] = None):
+        """Dense P×P curvature (reference `curvature.py:375-411`, `:467-493`)."""
+        if self.curv_type == "ef":
+            Gs, loss = self.gradients(x, y)
+            H = jnp.einsum("bp,bq->pq", Gs, Gs)
+            return self.factor * loss, self.factor * H
+        if self.curv_type == "hessian":
+            theta = self.model.mean_vector
+
+            def total_loss(t):
+                return self.lossfunc(self.model.apply_vec(t, x), y)
+
+            H = jax.hessian(total_loss)(theta)
+            if self.subnetwork_indices is not None:
+                H = H[self.subnetwork_indices][:, self.subnetwork_indices]
+            loss = total_loss(theta)
+            return self.factor * loss, self.factor * H
+        # ggn
+        Js, f = self._jacobians_dispatch(x)
+        if self.stochastic:
+            key = jax.random.key(0) if key is None else key
+            lam = self._mc_functional_fisher(f, key)
+        else:
+            lam = self._functional_hessian(f)
+        if lam is None:
+            H = jnp.einsum("bcp,bcq->pq", Js, Js)
+        else:
+            H = jnp.einsum("bcp,bck,bkq->pq", Js, lam, Js)
+        loss = self.factor * self.lossfunc(f, y)
+        return loss, H
+
+    # ------------------------------------------------------------------ diag
+    def diag(self, x, y, N: int = 1, key: Optional[jax.Array] = None):
+        """Diagonal curvature (reference `curvature.py:413-433`, `:495-505`)."""
+        if self.curv_type == "ef":
+            Gs, loss = self.gradients(x, y)
+            return self.factor * loss, self.factor * jnp.einsum("bp,bp->p", Gs, Gs)
+        if self.curv_type == "hessian":
+            loss, H = self.full(x, y, N)
+            return loss, jnp.diagonal(H)
+        Js, f = self._jacobians_dispatch(x)
+        if self.stochastic:
+            key = jax.random.key(0) if key is None else key
+            lam = self._mc_functional_fisher(f, key)
+            H = jnp.einsum("bcp,bck,bkp->p", Js, lam, Js)
+        else:
+            lam = self._functional_hessian(f)
+            if lam is None:
+                H = jnp.einsum("bcp,bcp->p", Js, Js)
+            else:
+                H = jnp.einsum("bcp,bck,bkp->p", Js, lam, Js)
+        loss = self.factor * self.lossfunc(f, y)
+        return loss, H
+
+    # ------------------------------------------------------------------ kron
+    def kron(self, x, y, N: int, key: Optional[jax.Array] = None) -> tuple:
+        """KFAC factors as a `Kron` (reference `curvature/curvlinops.py:77-108`).
+
+        Normalization contract (pinned by the reference's tests, see
+        `tests/test_curv_backends_asdl.py:296-360`): per batch of size M out of N
+        total points, the activation factor carries 1/N so factor groups add
+        across batches; a single data point through a Dense layer is exact.
+        """
+        if self.curv_type == "ef":
+            fisher_type = "empirical"
+        elif self.stochastic:
+            fisher_type = "mc"
+        else:
+            fisher_type = "exact"
+        loss, kron = kfac_factors(
+            self.model,
+            x,
+            y,
+            N=N,
+            likelihood=self.likelihood,
+            lossfunc=self.lossfunc,
+            fisher_type=fisher_type,
+            num_samples=self.num_samples,
+            key=key,
+            last_layer_path=self.last_layer_path if self.last_layer else None,
+        )
+        kron = kron * self.factor
+        return self.factor * loss, kron
+
+    # ----------------------------------------------------------------- lowrank
+    def eig_lowrank(self, loader, low_rank: int = 10):
+        """Truncated eigendecomposition of the curvature via matrix-free Lanczos
+        (replaces asdfghjkl's `eig_lowrank`, `curvature/asdfghjkl.py:212-236`)."""
+        from laplace_jax.curvature.lanczos import lanczos_eig_curvature
+
+        return lanczos_eig_curvature(self, loader, low_rank)
+
+
+def _expand(v):
+    """Add back the batch dim removed by vmap (tensor or dict batch)."""
+    if isinstance(v, dict):
+        return {k: a[None] for k, a in v.items()}
+    return v[None]
+
+
+def _under(leaf_path, module_path) -> bool:
+    lp, mp = list(leaf_path), list(module_path)
+    m = len(mp)
+    return any(lp[i : i + m] == mp for i in range(len(lp) - m + 1))
+
+
+# -- reference-style named backends (API familiarity) ---------------------------
+
+
+def GGNBackend(model, likelihood, stochastic: bool = False, num_samples: int = 1,
+               **kw) -> CurvatureBackend:
+    return CurvatureBackend(model, likelihood, "ggn", stochastic=stochastic,
+                            num_samples=num_samples, **kw)
+
+
+def EFBackend(model, likelihood, **kw) -> CurvatureBackend:
+    return CurvatureBackend(model, likelihood, "ef", **kw)
+
+
+def HessianBackend(model, likelihood, **kw) -> CurvatureBackend:
+    return CurvatureBackend(model, likelihood, "hessian", **kw)

@@ -1,0 +1,214 @@
+"""KFAC factor computation via functional layer taps.
+
+The reference obtains KFAC factors from backward hooks planted by curvlinops/ASDL
+(`laplace/curvature/curvlinops.py:55-108`, `asdl.py:214-251`). The TPU-native
+equivalent is hook-free: the flax interceptor adds a zero "offset" to every
+Dense/Conv output (see `NNModel.apply_with_taps`), and one `jax.vjp` w.r.t. those
+offsets yields the per-layer output gradients. Factor accumulation is then a
+couple of batched matmuls per layer — exactly the MXU-friendly shape.
+
+Normalization contract (pinned by the reference's KFAC tests — single-point
+exactness, batch additivity, N-proportionality; see
+`tests/test_curv_backends_asdl.py:296-360`):
+
+- activation factor  ``A = (1/(N·T)) Σ_{n,t} a a^T``  (T = weight-sharing /
+  spatial positions; T=1 for Dense on 2-D inputs — "expand" KFAC)
+- gradient factor    ``B = Σ_{s} Σ_{n,t} g g^T`` (averaged over MC samples s)
+- bias group uses ``[B]`` alone; Dense kernel group is ``(A, B)`` with the
+  input-major A ⊗ B dense-block convention of `laplace_jax.utils.matrix.Kron`.
+
+Fisher types mirror the reference backends: ``exact`` (square-root loss Hessian
+backprop, curvlinops FisherType.TYPE2), ``mc`` (sampled labels,
+FisherType.MC), ``empirical`` (actual-label loss gradients, FisherType.EMPIRICAL).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from laplace_jax.enums import Likelihood
+from laplace_jax.utils.matrix import Kron
+
+__all__ = ["kfac_factors", "conv_patches"]
+
+
+def conv_patches(inputs: jnp.ndarray, spec: dict) -> jnp.ndarray:
+    """Extract convolution patches ordered to match the flax kernel flatten.
+
+    flax Conv kernels are (kh, kw, in, out); the canonical row-major flatten of
+    the leading dims is (kh, kw, in). `conv_general_dilated_patches` returns the
+    feature axis in (in, kh, kw) order, so we permute.
+
+    Returns patches of shape (batch, T, kh*kw*in) with T = #spatial positions.
+    """
+    ksize = tuple(spec["kernel_size"])
+    nspatial = len(ksize)
+    c_in = inputs.shape[-1]
+    lhs_spec = "N" + "HWD"[:nspatial] + "C"
+    rhs_spec = "HWD"[:nspatial] + "IO"
+    def _norm_dilation(d):
+        if d is None:
+            return None
+        if isinstance(d, int):
+            return None if d == 1 else (d,) * nspatial
+        return tuple(d)
+
+    patches = jax.lax.conv_general_dilated_patches(
+        lhs=inputs,
+        filter_shape=ksize,
+        window_strides=tuple(spec["strides"]),
+        padding=spec["padding"],
+        lhs_dilation=_norm_dilation(spec.get("input_dilation")),
+        rhs_dilation=_norm_dilation(spec.get("kernel_dilation")),
+        dimension_numbers=(lhs_spec, rhs_spec, lhs_spec),
+    )
+    B = patches.shape[0]
+    spatial_out = patches.shape[1:-1]
+    T = 1
+    for s in spatial_out:
+        T *= s
+    # feature axis ordered (c_in, kh, kw) -> reorder to (kh, kw, c_in)
+    patches = patches.reshape(B, T, c_in, *ksize)
+    perm = (0, 1) + tuple(range(3, 3 + nspatial)) + (2,)
+    patches = jnp.transpose(patches, perm).reshape(B, T, -1)
+    return patches
+
+
+def _sqrt_hessian_cotangents(f: jnp.ndarray, likelihood, dtype) -> jnp.ndarray:
+    """Columns of S with S S^T = ∂²(sum-loss)/∂f² per sample, shaped (C, B, C).
+
+    classification: Λ = diag(p) - p pᵀ = Σ_c p_c (e_c - p)(e_c - p)ᵀ, so
+    S[:, c] = √p_c (e_c - p). regression: sum-MSE Hessian is 2I, S = √2·I.
+    """
+    C = f.shape[-1]
+    eye = jnp.eye(C, dtype=dtype)
+    if likelihood == Likelihood.REGRESSION:
+        return jnp.broadcast_to(
+            (jnp.sqrt(2.0) * eye)[:, None, :], (C, f.shape[0], C)
+        ).astype(dtype)
+    p = jax.nn.softmax(f, axis=-1)
+    # S_cot[c, b, :] = sqrt(p[b, c]) * (e_c - p[b])
+    return jnp.sqrt(p.T)[:, :, None] * (eye[:, None, :] - p[None, :, :])
+
+
+def kfac_factors(
+    model,
+    x,
+    y,
+    N: int,
+    likelihood,
+    lossfunc,
+    fisher_type: str = "exact",
+    num_samples: int = 1,
+    key: Optional[jax.Array] = None,
+    last_layer_path: Optional[tuple] = None,
+):
+    """Compute per-batch KFAC `Kron` factors and the (unscaled) batch loss."""
+    train_params = model.train_params
+    f0, taps = model.apply_with_taps(train_params, x)
+    if last_layer_path is not None:
+        taps = [t for t in taps if t.path == last_layer_path]
+    if not taps:
+        raise ValueError("No Dense/Conv layers intercepted for KFAC.")
+    tap_by_path = {t.path: t for t in taps}
+    offsets = {t.path: jnp.zeros_like(t.outputs) for t in taps}
+    dtype = f0.dtype
+
+    def f_of_offsets(offs):
+        f2, _ = model.apply_with_taps(train_params, x, offs)
+        return f2
+
+    f, vjp_fn = jax.vjp(f_of_offsets, offsets)
+
+    # ---- output-gradient factors B per layer ------------------------------
+    if fisher_type == "exact":
+        cotangents = _sqrt_hessian_cotangents(f, likelihood, dtype)  # (C, B, C)
+        g_stack = jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents)
+        B_facs = {p: _grad_cov(g) for p, g in g_stack.items()}
+    elif fisher_type == "mc":
+        key = jax.random.key(0) if key is None else key
+        B_facs = None
+        for s in range(num_samples):
+            k = jax.random.fold_in(key, s)
+            if likelihood == Likelihood.REGRESSION:
+                ct = jnp.sqrt(2.0) * jax.random.normal(k, f.shape, dtype=dtype)
+            else:
+                p = jax.nn.softmax(f, axis=-1)
+                cls = jax.random.categorical(k, f, axis=-1)
+                ct = p - jax.nn.one_hot(cls, f.shape[-1], dtype=dtype)
+            g = vjp_fn(ct)[0]
+            contrib = {p_: _grad_cov(gl) for p_, gl in g.items()}
+            if B_facs is None:
+                B_facs = contrib
+            else:
+                B_facs = {p_: B_facs[p_] + contrib[p_] for p_ in B_facs}
+        B_facs = {p_: v / num_samples for p_, v in B_facs.items()}
+    elif fisher_type == "empirical":
+        if likelihood == Likelihood.REGRESSION:
+            ct = 2.0 * (f - y)
+        else:
+            p = jax.nn.softmax(f, axis=-1)
+            ct = p - jax.nn.one_hot(y, f.shape[-1], dtype=dtype)
+        g = vjp_fn(ct)[0]
+        B_facs = {p_: _grad_cov(gl) for p_, gl in g.items()}
+    else:
+        raise ValueError(f"Unknown fisher_type {fisher_type}.")
+
+    # ---- activation factors A per layer ------------------------------------
+    A_facs = {}
+    for t in taps:
+        if t.kind == "dense":
+            a = t.inputs
+            if a.ndim == 2:
+                A = jnp.einsum("bi,bj->ij", a, a) / N
+            else:  # weight sharing over leading dims: expand-KFAC
+                a2 = a.reshape(-1, a.shape[-1])
+                T = a2.shape[0] // a.shape[0]
+                A = jnp.einsum("bi,bj->ij", a2, a2) / (N * T)
+        else:  # conv
+            patches = conv_patches(t.inputs, t.conv_spec)
+            T = patches.shape[1]
+            A = jnp.einsum("btk,btl->kl", patches, patches) / (N * T)
+        A_facs[t.path] = A
+
+    # ---- assemble Kron groups in canonical leaf order -----------------------
+    kfacs = []
+    for spec in model.leaf_specs:
+        path, role = spec.path, spec.path[-1]
+        if last_layer_path is not None and not _under(path, last_layer_path):
+            continue
+        matched = None
+        for t in taps:
+            if _under(path, t.path):
+                matched = t
+                break
+        if matched is None:
+            raise ValueError(
+                f"Trainable parameter {path} does not belong to an intercepted "
+                "Dense/Conv layer; KFAC is undefined for it. Freeze it via the "
+                "trainable mask or use a diag/full Hessian structure."
+            )
+        if role == "kernel":
+            kfacs.append((A_facs[matched.path], B_facs[matched.path]))
+        elif role == "bias":
+            kfacs.append((B_facs[matched.path],))
+        else:
+            raise ValueError(f"Unsupported parameter role {role} for KFAC.")
+
+    loss = lossfunc(f0, y)
+    return loss, Kron(kfacs)
+
+
+def _grad_cov(g: jnp.ndarray) -> jnp.ndarray:
+    """Σ g gᵀ over all leading axes; g has trailing `out` axis."""
+    g2 = g.reshape(-1, g.shape[-1])
+    return jnp.einsum("bo,bp->op", g2, g2)
+
+
+def _under(leaf_path, module_path) -> bool:
+    lp, mp = list(leaf_path), list(module_path)
+    m = len(mp)
+    return any(lp[i : i + m] == mp for i in range(len(lp) - m + 1))

@@ -1,0 +1,120 @@
+"""Matrix-free Lanczos eigendecomposition of the dataset curvature.
+
+Native replacement for the reference's asdfghjkl-only low-rank path
+(`laplace/curvature/asdfghjkl.py:212-236`): the top-K eigenpairs of the total
+curvature (true Hessian or GGN, depending on the backend's `curv_type`) are found
+by Lanczos with full re-orthogonalization. Each matrix-vector product is one pass
+over the loader with a jitted per-batch HVP/GGN-VP — O(K) passes total, never
+materializing the P×P matrix. This is the memory-right approach on TPU: the HVP
+is two jvp/vjp sweeps, all MXU work.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laplace_jax.enums import Likelihood
+
+
+def _batch_hvp_fn(backend):
+    """Jitted per-batch curvature-vector product for the backend's curv_type."""
+    model = backend.model
+    lossfunc = backend.lossfunc
+
+    if backend.curv_type == "hessian":
+
+        @jax.jit
+        def hvp(theta, v, x, y):
+            def total_loss(t):
+                return lossfunc(model.apply_vec(t, x), y)
+
+            return jax.jvp(jax.grad(total_loss), (theta,), (v,))[1]
+
+    else:  # ggn: J^T Λ J v via jvp through f then vjp back
+
+        @jax.jit
+        def hvp(theta, v, x, y):
+            def f_fn(t):
+                return model.apply_vec(t, x)
+
+            f, Jv = jax.jvp(f_fn, (theta,), (v,))
+            if backend.likelihood == Likelihood.REGRESSION:
+                lam_Jv = Jv
+            else:
+                p = jax.nn.softmax(f, axis=-1)
+                lam_Jv = p * Jv - p * jnp.sum(p * Jv, axis=-1, keepdims=True)
+            _, vjp_fn = jax.vjp(f_fn, theta)
+            return vjp_fn(lam_Jv)[0]
+
+    return hvp
+
+
+def lanczos_eig_curvature(backend, loader, low_rank: int = 10):
+    """Top-`low_rank` eigenpairs of Σ_batches curvature, plus the total loss.
+
+    Returns (eigenvectors (P, K), eigenvalues (K,), loss) with eigenvalues
+    > 1e-6 kept, mirroring the asdfghjkl contract the reference's
+    `LowRankLaplace.fit` consumes (`laplace/baselaplace.py:1950-1987`).
+    """
+    model = backend.model
+    theta = model.mean_vector
+    P = theta.shape[0]
+    batches = [(x, y) for x, y in loader]
+    hvp_batch = _batch_hvp_fn(backend)
+
+    def matvec(v: jnp.ndarray) -> jnp.ndarray:
+        out = jnp.zeros_like(v)
+        for x, y in batches:
+            out = out + hvp_batch(theta, v, jnp.asarray(x), jnp.asarray(y))
+        return out
+
+    m = int(min(max(4 * low_rank + 16, low_rank + 2), P))
+    key = jax.random.key(0)
+    v = jax.random.normal(key, (P,), dtype=theta.dtype)
+    v = v / jnp.linalg.norm(v)
+
+    V = np.zeros((P, m), dtype=np.asarray(theta).dtype)
+    alphas = np.zeros(m)
+    betas = np.zeros(m)
+    v_prev = jnp.zeros_like(v)
+    beta = 0.0
+    actual_m = m
+    for j in range(m):
+        w = matvec(v) - beta * v_prev
+        alpha = float(jnp.dot(w, v))
+        w = w - alpha * v
+        # full re-orthogonalization against previous Lanczos vectors
+        Vj = jnp.asarray(V[:, : j + 1])
+        Vj = Vj.at[:, j].set(v)
+        w = w - Vj @ (Vj.T @ w)
+        beta = float(jnp.linalg.norm(w))
+        V[:, j] = np.asarray(v)
+        alphas[j] = alpha
+        betas[j] = beta
+        if beta < 1e-12:
+            actual_m = j + 1
+            break
+        v_prev = v
+        v = w / beta
+
+    T = np.diag(alphas[:actual_m]) + np.diag(betas[: actual_m - 1], 1) + np.diag(
+        betas[: actual_m - 1], -1
+    )
+    evals, evecs = np.linalg.eigh(T)
+    order = np.argsort(evals)[::-1][:low_rank]
+    evals = evals[order]
+    ritz = V[:, :actual_m] @ evecs[:, order]
+    mask = evals > 1e-6
+    eigvecs = jnp.asarray(ritz[:, mask])
+    eigvals = jnp.asarray(evals[mask])
+
+    # total loss over the dataset at the MAP
+    loss = 0.0
+    loss_fn = jax.jit(lambda t, x, y: backend.lossfunc(model.apply_vec(t, x), y))
+    for x, y in batches:
+        loss += float(loss_fn(theta, jnp.asarray(x), jnp.asarray(y)))
+    loss = backend.factor * loss
+
+    return eigvecs, eigvals, jnp.asarray(loss)

@@ -1,0 +1,282 @@
+"""Model adapter: functional replacement for the reference's module/hook machinery.
+
+The reference manipulates stateful `nn.Module`s: `FeatureExtractor` forward hooks
+capture last-layer inputs (`laplace/utils/feature_extractor.py:149-216`) and the
+curvature backends read per-module statistics planted by backward hooks
+(`laplace/curvature/curvlinops.py:55-75`). In JAX everything is a pure function of
+the parameters, so this module provides the equivalents functionally:
+
+- `NNModel` wraps `(apply_fn, params)` with an optional trainable mask (the
+  reference's `requires_grad` subset scan, `laplace/baselaplace.py:115-122`).
+- For flax modules, `flax.linen.intercept_methods` gives *taps*: per-layer
+  (input activation, pre-offset output) pairs plus additive zero "offsets" whose
+  cotangents are exactly the output gradients KFAC needs — no hooks, no mutation,
+  fully traceable under `jit`/`grad`/`vmap`.
+- Last-layer discovery = "last executed Dense module" recorded during one traced
+  forward (reference auto-discovery: `feature_extractor.py:159-216`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from laplace_jax.enums import FeatureReduction
+from laplace_jax.utils.flatten import (
+    leaf_specs,
+    make_unflatten,
+    merge,
+    num_params,
+    partition,
+    tree_to_vector,
+)
+
+try:
+    import flax.linen as nn
+
+    _HAS_FLAX = True
+except Exception:  # pragma: no cover
+    _HAS_FLAX = False
+
+
+class LayerTap:
+    """Record of one intercepted linear layer execution."""
+
+    def __init__(self, path, inputs, outputs, kind, conv_spec=None):
+        self.path = path  # tuple[str, ...] module path
+        self.inputs = inputs  # layer input activations
+        self.outputs = outputs  # layer output (post-offset)
+        self.kind = kind  # "dense" | "conv"
+        self.conv_spec = conv_spec  # dict for conv patch extraction
+
+
+class NNModel:
+    """A neural network as `(apply_fn, params)` plus introspection hooks.
+
+    Parameters
+    ----------
+    apply_fn : callable `(params, x) -> f` where `f` is `(batch, ..., outputs)`
+    params : parameter pytree
+    trainable_mask : pytree of per-leaf bools or None (all trainable). Frozen
+        leaves are held constant and excluded from the posterior, mirroring the
+        reference's `requires_grad` filter.
+    module : optional flax `nn.Module` enabling taps / last-layer discovery.
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        params: Any,
+        trainable_mask: Any = None,
+        module: Any = None,
+    ):
+        self.apply_fn = apply_fn
+        self.params = params
+        self.module = module
+        if trainable_mask is None:
+            trainable_mask = jax.tree_util.tree_map(lambda _: True, params)
+        self.trainable_mask = trainable_mask
+        self.train_params, self.frozen_params = partition(params, trainable_mask)
+        self.is_subset = any(
+            not m for m in jax.tree_util.tree_leaves(trainable_mask)
+        )
+        self._unflatten = make_unflatten(self.train_params)
+        self.n_params = num_params(self.train_params)
+        self.leaf_specs = leaf_specs(self.train_params)
+        self.n_layers = len(self.leaf_specs)
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_flax(cls, module, params, trainable_mask=None) -> "NNModel":
+        def apply_fn(p, x):
+            return module.apply(p, x)
+
+        return cls(apply_fn, params, trainable_mask, module=module)
+
+    @classmethod
+    def wrap(cls, model, params=None) -> "NNModel":
+        """Coerce supported inputs into an NNModel: NNModel passthrough,
+        (flax module, params) pair, or (apply_fn, params) pair."""
+        if isinstance(model, NNModel):
+            return model
+        if params is None and isinstance(model, (tuple, list)) and len(model) == 2:
+            model, params = model
+        if _HAS_FLAX and isinstance(model, nn.Module):
+            return cls.from_flax(model, params)
+        if callable(model):
+            return cls(model, params)
+        raise ValueError(
+            "model must be an NNModel, a flax Module (with params), or a callable "
+            "apply_fn (with params)."
+        )
+
+    # -- basic application -----------------------------------------------------
+    def full_params(self, train_params) -> Any:
+        return merge(train_params, self.frozen_params)
+
+    def apply(self, train_params, x) -> jnp.ndarray:
+        return self.apply_fn(self.full_params(train_params), x)
+
+    def apply_vec(self, theta: jnp.ndarray, x) -> jnp.ndarray:
+        """Apply from the canonical flat parameter vector."""
+        return self.apply(self._unflatten(theta), x)
+
+    @property
+    def mean_vector(self) -> jnp.ndarray:
+        return tree_to_vector(self.train_params)
+
+    def unflatten(self, theta: jnp.ndarray) -> Any:
+        return self._unflatten(theta)
+
+    def set_params(self, train_params) -> None:
+        """Refresh the MAP point (used after training / loading)."""
+        self.params = merge(train_params, self.frozen_params)
+        self.train_params = train_params
+
+    # -- flax interception ----------------------------------------------------
+    def _require_flax(self):
+        if self.module is None:
+            raise ValueError(
+                "This operation requires a flax module (taps / last-layer "
+                "introspection). Construct the NNModel via NNModel.from_flax or "
+                "pass the flax module."
+            )
+
+    def apply_with_taps(self, train_params, x, offsets: Optional[Mapping] = None):
+        """Forward pass recording per-linear-layer taps.
+
+        Returns `(f, taps)` where taps is a list of `LayerTap` in execution
+        order. If `offsets` (dict path -> array broadcastable to the layer
+        output) is given, each tapped output gets `+ offsets[path]`; the vjp
+        w.r.t. these offsets yields the per-layer output gradients that torch
+        backends obtain with backward hooks (`curvlinops.py:61-62`).
+        """
+        self._require_flax()
+        taps: list[LayerTap] = []
+
+        def interceptor(next_fun, args, kwargs, context):
+            module = context.module
+            if context.method_name != "__call__" or not isinstance(
+                module, (nn.Dense, nn.Conv)
+            ):
+                return next_fun(*args, **kwargs)
+            out = next_fun(*args, **kwargs)
+            path = tuple(module.path)
+            if offsets is not None and path in offsets:
+                out = out + offsets[path]
+            if isinstance(module, nn.Dense):
+                taps.append(LayerTap(path, args[0], out, "dense"))
+            else:
+                spec = dict(
+                    kernel_size=tuple(module.kernel_size),
+                    strides=tuple(module.strides or (1,) * len(module.kernel_size)),
+                    padding=module.padding,
+                    input_dilation=module.input_dilation,
+                    kernel_dilation=module.kernel_dilation,
+                    feature_group_count=module.feature_group_count,
+                )
+                taps.append(LayerTap(path, args[0], out, "conv", spec))
+            return out
+
+        params = self.full_params(train_params)
+        with nn.intercept_methods(interceptor):
+            f = self.module.apply(params, x)
+        return f, taps
+
+    def linear_layer_paths(self, x) -> list[LayerTap]:
+        """Run one probing forward (like the reference's `model(X[:1])` probe,
+        `baselaplace.py:947-951`) to list intercepted linear layers."""
+        xs = _probe_slice(x)
+        _, taps = self.apply_with_taps(self.train_params, xs)
+        return taps
+
+    # -- last layer ------------------------------------------------------------
+    def find_last_layer(self, x) -> tuple:
+        """Path of the last executed Dense layer (auto-discovery parity with
+        `feature_extractor.py:159-216`)."""
+        taps = self.linear_layer_paths(x)
+        dense = [t for t in taps if t.kind == "dense"]
+        if not dense:
+            raise ValueError("No Dense layer found for last-layer Laplace.")
+        return dense[-1].path
+
+    def last_layer_param_paths(self, last_layer_path: tuple) -> list[tuple]:
+        """Parameter-leaf paths (as string tuples) under the last layer."""
+        specs = leaf_specs(self.params)
+        sel = [s.path for s in specs if _path_contains(s.path, last_layer_path)]
+        if not sel:
+            raise ValueError(f"No parameters found under module path {last_layer_path}.")
+        return sel
+
+    def split_last_layer(self, last_layer_path: tuple):
+        """Partition `params` into (last-layer subtree mask, rest)."""
+
+        def mask_from_path(tree):
+            flat = jax.tree_util.tree_leaves_with_path(tree)
+            masks = []
+            for path, _ in flat:
+                pstr = tuple(_key_to_str(k) for k in path)
+                masks.append(_path_contains(pstr, last_layer_path))
+            treedef = jax.tree_util.tree_structure(tree)
+            return jax.tree_util.tree_unflatten(treedef, masks)
+
+        return mask_from_path(self.params)
+
+    def apply_with_features(
+        self,
+        train_params,
+        x,
+        last_layer_path: tuple,
+        feature_reduction: FeatureReduction | str | None = None,
+    ):
+        """Forward returning `(f, features)` where features is the last layer's
+        input, reduced to (batch, dim) if requested
+        (`feature_extractor.py:100-127`)."""
+        f, taps = self.apply_with_taps(train_params, x)
+        feats = None
+        for t in taps:
+            if t.path == last_layer_path:
+                feats = t.inputs
+        if feats is None:
+            raise ValueError(f"Last layer {last_layer_path} not executed in forward.")
+        if feats.ndim > 2 and feature_reduction is not None:
+            if feature_reduction == FeatureReduction.PICK_FIRST:
+                idx = (slice(None),) + (0,) * (feats.ndim - 2) + (slice(None),)
+                feats = feats[idx]
+            elif feature_reduction == FeatureReduction.PICK_LAST:
+                idx = (slice(None),) + (-1,) * (feats.ndim - 2) + (slice(None),)
+                feats = feats[idx]
+            elif feature_reduction == FeatureReduction.AVERAGE:
+                feats = feats.mean(axis=tuple(range(1, feats.ndim - 1)))
+            else:
+                raise ValueError(f"Invalid feature_reduction {feature_reduction}.")
+        return f, feats
+
+
+def _probe_slice(x):
+    """First element of a batch (tensor or dict-of-tensors)."""
+    if isinstance(x, Mapping):
+        return {k: v[:1] for k, v in x.items()}
+    return x[:1]
+
+
+def _key_to_str(k) -> str:
+    if isinstance(k, jax.tree_util.DictKey):
+        return str(k.key)
+    if isinstance(k, jax.tree_util.SequenceKey):
+        return str(k.idx)
+    if isinstance(k, jax.tree_util.GetAttrKey):
+        return str(k.name)
+    return str(k)
+
+
+def _path_contains(leaf_path: Sequence[str], module_path: Sequence[str]) -> bool:
+    """True if the module path occurs as a contiguous subsequence of the leaf's
+    param path (flax leaf paths look like ('params', 'Dense_1', 'kernel'))."""
+    lp, mp = list(leaf_path), list(module_path)
+    n, m = len(lp), len(mp)
+    if m == 0:
+        return False
+    return any(lp[i : i + m] == mp for i in range(n - m + 1))
