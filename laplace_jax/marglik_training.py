@@ -1,0 +1,236 @@
+"""Online marginal-likelihood training (Immer et al. 2021, Alg. 1).
+
+Parity: `laplace/marglik_training.py:34-361`. The inner loop minimizes the
+regularized training loss with optax; every `marglik_frequency` epochs (after
+burn-in) a fresh all-weights Laplace is fit and `n_hypersteps` Adam steps are
+taken on `(log_prior_prec, log_sigma_noise)` against the negative log marginal
+likelihood. The best-marglik snapshot is restored at the end and refit.
+
+TPU-native details: the inner training step is one jitted function (loss + prior
+regularizer + optax update); hyper-steps are jitted grads of the cached-curvature
+marglik.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from laplace_jax.enums import HessianStructure, Likelihood, PriorStructure
+from laplace_jax.laplace import Laplace
+from laplace_jax.nnmodel import NNModel
+from laplace_jax.utils.data import dataset_size
+from laplace_jax.utils.flatten import tree_to_vector
+from laplace_jax.utils.prior import (
+    expand_prior_precision_sizes,
+    fix_prior_prec_structure,
+)
+
+__all__ = ["marglik_training"]
+
+
+def marglik_training(
+    model,
+    train_loader,
+    likelihood: Likelihood | str = Likelihood.CLASSIFICATION,
+    hessian_structure: HessianStructure | str = HessianStructure.KRON,
+    backend="ggn",
+    optimizer=None,
+    optimizer_kwargs: Optional[dict] = None,
+    scheduler=None,
+    n_epochs: int = 300,
+    lr_hyp: float = 1e-1,
+    prior_structure: PriorStructure | str = PriorStructure.LAYERWISE,
+    n_epochs_burnin: int = 0,
+    n_hypersteps: int = 10,
+    marglik_frequency: int = 1,
+    prior_prec_init: float = 1.0,
+    sigma_noise_init: float = 1.0,
+    temperature: float = 1.0,
+    fix_sigma_noise: bool = False,
+    progress_bar: bool = False,
+    enable_backprop: bool = False,
+    dict_key_x: str = "input_ids",
+    dict_key_y: str = "labels",
+    params=None,
+):
+    """Jointly train MAP parameters and tune hyperparameters by marginal
+    likelihood. Returns `(la, nnmodel, margliks, losses)` like the reference.
+
+    `optimizer` is an optax GradientTransformation (default `optax.adam`), or
+    None with `optimizer_kwargs` (e.g. `{"learning_rate": 1e-3}`).
+    """
+    nnm = NNModel.wrap(model, params)
+    N = dataset_size(train_loader)
+    theta = tree_to_vector(nnm.train_params)
+    P = theta.shape[0]
+    H = nnm.n_layers
+    leaf_sizes = [s.size for s in nnm.leaf_specs]
+    dtype = theta.dtype
+
+    # differentiable hyperparameters
+    log_prior_prec = jnp.log(
+        fix_prior_prec_structure(
+            temperature * prior_prec_init, prior_structure, H, P, dtype=dtype
+        )
+    )
+    if likelihood == Likelihood.REGRESSION:
+        log_sigma_noise = jnp.log(jnp.full((1,), sigma_noise_init, dtype=dtype))
+    else:
+        log_sigma_noise = None
+
+    if optimizer is None:
+        optimizer_kwargs = dict(optimizer_kwargs or {})
+        optimizer_kwargs.setdefault("learning_rate", 1e-3)
+        optimizer = optax.adam(**optimizer_kwargs)
+    if scheduler is not None:
+        optimizer = optax.chain(optimizer, scheduler)
+    opt_state = optimizer.init(theta)
+
+    hyper_optimizer = optax.adam(lr_hyp)
+
+    def criterion(f, y):
+        """Mean loss (reference uses reduction='mean', `marglik_training.py:185-190`)."""
+        if likelihood == Likelihood.REGRESSION:
+            return jnp.mean((f - y) ** 2)
+        logp = jax.nn.log_softmax(f, axis=-1)
+        return -jnp.mean(
+            jnp.take_along_axis(logp, y[..., None].astype(int), axis=-1)
+        )
+
+    @jax.jit
+    def train_step(theta, opt_state, x, y, log_pp, log_sn):
+        def objective(t):
+            f = nnm.apply_vec(t, x)
+            if likelihood == Likelihood.REGRESSION:
+                sn = jnp.exp(log_sn[0]) if log_sn is not None else 1.0
+                crit_factor = temperature / (2.0 * sn**2)
+            else:
+                crit_factor = temperature
+            delta = expand_prior_precision_sizes(jnp.exp(log_pp), leaf_sizes)
+            reg = 0.5 * jnp.dot(delta * t, t) / N / crit_factor
+            return criterion(f, y) + reg, f
+
+        (loss, f), g = jax.value_and_grad(objective, has_aux=True)(theta)
+        updates, opt_state = optimizer.update(g, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return theta, opt_state, loss, f
+
+    losses, margliks = [], []
+    best_marglik = np.inf
+    best_theta = None
+    best_precision = None
+    best_sigma = None
+
+    for epoch in range(1, n_epochs + 1):
+        epoch_loss = 0.0
+        epoch_count = 0
+        for data in train_loader:
+            if isinstance(data, dict):
+                x, y = data, jnp.asarray(data[dict_key_y])
+            else:
+                x, y = data
+                x, y = jnp.asarray(x), jnp.asarray(y)
+            sn_arg = (
+                jax.lax.stop_gradient(log_sigma_noise)
+                if log_sigma_noise is not None and not fix_sigma_noise
+                else log_sigma_noise
+            )
+            theta, opt_state, loss, f = train_step(
+                theta, opt_state, x, y, jax.lax.stop_gradient(log_prior_prec), sn_arg
+            )
+            bsz = y.shape[0]
+            epoch_loss += float(loss) * bsz
+            epoch_count += bsz
+        losses.append(epoch_loss / epoch_count)
+        logging.info(f"MARGLIK[epoch={epoch}]: network training. Loss={losses[-1]:.3f}.")
+
+        if (epoch % marglik_frequency) != 0 or epoch < n_epochs_burnin:
+            continue
+
+        # 1. fit a fresh all-weights Laplace at the current parameters
+        nnm.set_params(nnm.unflatten(theta))
+        sigma_noise = (
+            float(jnp.exp(log_sigma_noise[0]))
+            if (likelihood == Likelihood.REGRESSION and not fix_sigma_noise)
+            else sigma_noise_init if likelihood == Likelihood.REGRESSION else 1.0
+        )
+        lap = Laplace(
+            nnm, likelihood, hessian_structure=hessian_structure,
+            sigma_noise=sigma_noise, prior_precision=jnp.exp(log_prior_prec),
+            temperature=temperature, backend=backend, subset_of_weights="all",
+            dict_key_x=dict_key_x, dict_key_y=dict_key_y,
+        )
+        lap.fit(train_loader)
+
+        # 2. differentiate marglik w.r.t. hyperparameters
+        hyper_params = {"log_pp": log_prior_prec}
+        if likelihood == Likelihood.REGRESSION and not fix_sigma_noise:
+            hyper_params["log_sn"] = log_sigma_noise
+        hyper_state = hyper_optimizer.init(hyper_params)
+
+        def neg_marglik(hp):
+            sn = (
+                jnp.exp(hp["log_sn"][0])
+                if "log_sn" in hp
+                else (sigma_noise_init if likelihood == Likelihood.REGRESSION else None)
+            )
+            return -lap.log_marginal_likelihood(jnp.exp(hp["log_pp"]), sn)
+
+        @jax.jit
+        def hyper_step(hp, state):
+            val, g = jax.value_and_grad(neg_marglik)(hp)
+            updates, state = hyper_optimizer.update(g, state)
+            return optax.apply_updates(hp, updates), state, val
+
+        for _ in range(n_hypersteps):
+            hyper_params, hyper_state, marglik_val = hyper_step(
+                hyper_params, hyper_state
+            )
+            margliks.append(float(marglik_val))
+        log_prior_prec = hyper_params["log_pp"]
+        if "log_sn" in hyper_params:
+            log_sigma_noise = hyper_params["log_sn"]
+
+        # early stopping bookkeeping (reference `marglik_training.py:316-337`)
+        if margliks[-1] < best_marglik:
+            best_marglik = margliks[-1]
+            best_theta = theta
+            best_precision = jnp.exp(log_prior_prec)
+            best_sigma = (
+                1.0 if likelihood == Likelihood.CLASSIFICATION
+                else float(jnp.exp(log_sigma_noise[0]))
+                if not fix_sigma_noise else sigma_noise_init
+            )
+            logging.info(
+                f"MARGLIK[epoch={epoch}]: MargLik={best_marglik:.2f}. Saving new best."
+            )
+
+    logging.info("MARGLIK: finished training. Recover best model and fit Laplace.")
+    if best_theta is not None:
+        theta = best_theta
+        prior_prec = best_precision
+        sigma_noise = best_sigma
+    else:
+        prior_prec = jnp.exp(log_prior_prec)
+        sigma_noise = (
+            1.0 if likelihood == Likelihood.CLASSIFICATION
+            else float(jnp.exp(log_sigma_noise[0]))
+            if not fix_sigma_noise else sigma_noise_init
+        )
+
+    nnm.set_params(nnm.unflatten(theta))
+    lap = Laplace(
+        nnm, likelihood, hessian_structure=hessian_structure,
+        sigma_noise=sigma_noise, prior_precision=prior_prec,
+        temperature=temperature, backend=backend, subset_of_weights="all",
+        enable_backprop=enable_backprop, dict_key_x=dict_key_x,
+        dict_key_y=dict_key_y,
+    )
+    lap.fit(train_loader)
+    return lap, nnm, margliks, losses

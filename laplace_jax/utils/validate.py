@@ -1,0 +1,65 @@
+"""Predictive evaluation over a validation loader.
+
+Parity: `laplace/utils/utils.py:40-101` — runs the Laplace predictive on every
+batch and aggregates a running metric (or an offline callable).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from laplace_jax.enums import LinkApprox, PredType
+
+
+def validate(
+    laplace,
+    val_loader,
+    loss,
+    pred_type: PredType | str = PredType.GLM,
+    link_approx: LinkApprox | str = LinkApprox.PROBIT,
+    n_samples: int = 100,
+    dict_key_y: str = "labels",
+) -> float:
+    is_online = hasattr(loss, "update") and hasattr(loss, "compute")
+    if is_online:
+        loss.reset()
+    output_means, output_vars, targets = [], [], []
+
+    for data in val_loader:
+        if isinstance(data, Mapping):
+            X, y = data, data[dict_key_y]
+        else:
+            X, y = data
+        out = laplace(
+            X, pred_type=pred_type, link_approx=link_approx,
+            n_samples=n_samples, fitting=True,
+        )
+        if isinstance(out, tuple):
+            if is_online:
+                try:
+                    loss.update(out[0], out[1], jnp.asarray(y))
+                except TypeError:
+                    loss.update(out[0], jnp.asarray(y))
+            else:
+                output_means.append(out[0])
+                output_vars.append(out[1])
+                targets.append(jnp.asarray(y))
+        else:
+            if is_online:
+                loss.update(out, jnp.asarray(y))
+            else:
+                output_means.append(out)
+                targets.append(jnp.asarray(y))
+
+    if is_online:
+        return float(loss.compute())
+
+    means = jnp.concatenate(output_means, axis=0)
+    tgts = jnp.concatenate(targets, axis=0)
+    if output_vars:
+        variances = jnp.concatenate(output_vars, axis=0)
+        return float(loss(means, variances, tgts))
+    return float(loss(means, tgts))

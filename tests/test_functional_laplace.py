@@ -1,0 +1,191 @@
+"""FunctionalLaplace tests.
+
+The key oracle mirrors the reference's `tests/test_functional_laplace.py:35-130`:
+with `n_subset = N`, the GP predictive must match the FullLaplace GLM predictive
+(means allclose; variances to atol 1e-2; classification argmax-equal).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laplace_jax import FullLaplace, FullLLLaplace, Laplace
+from laplace_jax.functional_laplace import FunctionalLaplace, FunctionalLLLaplace
+from laplace_jax.nnmodel import NNModel
+from laplace_jax.utils.data import ArrayLoader
+
+from .utils import classification_data, make_mlp, regression_data, sinusoid_data
+
+
+@pytest.fixture
+def model():
+    model, params = make_mlp()
+    return NNModel.from_flax(model, params)
+
+
+def test_gp_equals_full_regression():
+    X, y = sinusoid_data(n=30)
+    model, params = make_mlp(in_dim=1, hidden=10, out_dim=1)
+    nnm = NNModel.from_flax(model, params)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=10)
+
+    la_full = FullLaplace(nnm, "regression", prior_precision=1.3)
+    la_full.fit(loader)
+    la_gp = FunctionalLaplace(nnm, "regression", n_subset=30, prior_precision=1.3)
+    la_gp.fit(loader)
+
+    X_test = jnp.asarray(np.linspace(0, 8, 15).reshape(-1, 1))
+    f_mu_full, f_var_full = la_full(X_test)
+    f_mu_gp, f_var_gp = la_gp(X_test)
+    np.testing.assert_allclose(
+        np.asarray(f_mu_gp), np.asarray(f_mu_full), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_var_gp), np.asarray(f_var_full), atol=1e-2
+    )
+
+
+def test_gp_equals_full_classification(model):
+    X, y = classification_data(n=20)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=10)
+    la_full = FullLaplace(model, "classification", prior_precision=0.8)
+    la_full.fit(loader)
+    la_gp = FunctionalLaplace(model, "classification", n_subset=20,
+                              prior_precision=0.8)
+    la_gp.fit(loader)
+    X_test, _ = classification_data(n=8, seed=9)
+    p_full = la_full(X_test, link_approx="probit")
+    p_gp = la_gp(X_test, link_approx="probit")
+    # the GP path diagonal-approximates Λ, so only argmax equality is
+    # guaranteed (reference `tests/test_functional_laplace.py:129-130`)
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(p_full), -1), np.argmax(np.asarray(p_gp), -1)
+    )
+    np.testing.assert_allclose(np.asarray(p_gp), np.asarray(p_full), atol=0.15)
+
+
+def test_gp_subset_runs(model):
+    X, y = classification_data(n=20)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=5)
+    la = FunctionalLaplace(model, "classification", n_subset=10)
+    la.fit(loader)
+    assert la.K_MM.shape == (20, 20)  # M*C x M*C
+    probs = la(X[:6], link_approx="probit")
+    assert probs.shape == (6, 2)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-6)
+    # predictive samples & functional samples
+    s = la.predictive_samples(X[:6], n_samples=5)
+    assert s.shape == (5, 6, 2)
+    # marglik finite + differentiable in prior precision
+    marglik = la.log_marginal_likelihood()
+    assert np.isfinite(float(marglik))
+    g = jax.grad(lambda pp: la.log_marginal_likelihood(prior_precision=pp))(
+        jnp.asarray([1.0])
+    )
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gp_independent_outputs(model):
+    X, y = classification_data(n=16)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=8)
+    la = FunctionalLaplace(model, "classification", n_subset=16,
+                           independent_outputs=True)
+    la.fit(loader)
+    assert la.K_MM.shape == (2, 16, 16)
+    probs = la(X[:5], link_approx="probit")
+    assert probs.shape == (5, 2)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-6)
+    assert np.isfinite(float(la.log_marginal_likelihood()))
+
+
+def test_gp_joint_covariance(model):
+    X, y = regression_data(n=12)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=6)
+    la = FunctionalLaplace(model, "regression", n_subset=12)
+    la.fit(loader)
+    f_mu, f_var = la(X[:4])
+    f_mu_j, f_cov = la(X[:4], joint=True)
+    np.testing.assert_allclose(
+        np.asarray(f_mu).ravel(), np.asarray(f_mu_j), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.diag(np.asarray(f_cov)).reshape(4, 2),
+        np.diagonal(np.asarray(f_var), axis1=1, axis2=2),
+        atol=1e-8,
+    )
+
+
+def test_gp_prior_change_recomputes(model):
+    X, y = classification_data(n=10)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=5)
+    la = FunctionalLaplace(model, "classification", n_subset=10)
+    la.fit(loader)
+    p1 = la(X[:3], link_approx="probit")
+    la.prior_precision = 10.0
+    with pytest.warns(UserWarning, match="prior precision has been changed"):
+        p2 = la(X[:3], link_approx="probit")
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_gp_unfitted_raises(model):
+    la = FunctionalLaplace(model, "classification", n_subset=5)
+    with pytest.raises(RuntimeError):
+        la(jnp.ones((2, 3)))
+    with pytest.raises(ValueError):
+        FunctionalLaplace(model, "classification", n_subset=5,
+                          prior_precision=np.ones(3))
+
+
+def test_functional_ll_laplace(model):
+    X, y = classification_data(n=16)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=8)
+    la = FunctionalLLLaplace(model, "classification", n_subset=16)
+    la.fit(loader)
+    assert la.last_layer_path == ("Dense_1",)
+    assert la.n_params == 42
+    probs = la(X[:5], link_approx="probit")
+    assert probs.shape == (5, 2)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-6)
+
+
+def test_functional_ll_equals_full_ll():
+    """GP-LL with n_subset=N matches FullLLLaplace (GLM↔GP duality on the
+    last layer)."""
+    X, y = sinusoid_data(n=24)
+    model, params = make_mlp(in_dim=1, hidden=10, out_dim=1)
+    nnm = NNModel.from_flax(model, params)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=8)
+    la_full = FullLLLaplace(nnm, "regression", prior_precision=2.0)
+    la_full.fit(loader)
+    la_gp = FunctionalLLLaplace(nnm, "regression", n_subset=24, prior_precision=2.0)
+    la_gp.fit(loader)
+    X_test = jnp.asarray(np.linspace(0, 8, 10).reshape(-1, 1))
+    f_mu_f, f_var_f = la_full(X_test)
+    f_mu_g, f_var_g = la_gp(X_test)
+    np.testing.assert_allclose(np.asarray(f_mu_g), np.asarray(f_mu_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_var_g), np.asarray(f_var_f), atol=1e-2)
+
+
+def test_gp_factory(model):
+    la = Laplace(model, "classification", subset_of_weights="all",
+                 hessian_structure="gp", n_subset=5)
+    assert isinstance(la, FunctionalLaplace)
+    la = Laplace(model, "classification", subset_of_weights="last_layer",
+                 hessian_structure="gp", n_subset=5)
+    assert isinstance(la, FunctionalLLLaplace)
+
+
+def test_gp_serialization(model):
+    X, y = classification_data(n=10)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=5)
+    la = FunctionalLaplace(model, "classification", n_subset=10)
+    la.fit(loader)
+    sd = la.state_dict()
+    la2 = FunctionalLaplace(model, "classification", n_subset=10)
+    la2.load_state_dict(sd)
+    np.testing.assert_allclose(
+        np.asarray(la(X[:4], link_approx="probit")),
+        np.asarray(la2(X[:4], link_approx="probit")),
+        atol=1e-10,
+    )
