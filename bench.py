@@ -1,0 +1,128 @@
+"""Benchmark: KFAC fit on ResNet-18/CIFAR + predictive/marglik throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...extras}
+
+Headline metric: all-weights KFAC fit seconds (factor accumulation over the
+loader + eigendecomposition epilogue) on ResNet-18 with CIFAR-10-shaped
+synthetic data — the BASELINE.md target workload. `vs_baseline` is the speedup
+over the torch-CPU reference-pattern implementation (`bench_torch_baseline.py`,
+cached in `bench_baseline.json`).
+
+Secondary metrics (extra keys): GLM predictive samples/sec (last-layer
+posterior) and marglik hyper-steps/sec on the fitted KFAC posterior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_DATA = 512
+BATCH = 64
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+
+
+def get_torch_baseline() -> float:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["torch_cpu_kfac_fit_sec"]
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "bench_torch_baseline.py"),
+         str(N_DATA), str(BATCH)],
+        capture_output=True, text=True, timeout=7200,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    data = json.loads(line)
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(data, f)
+    return data["torch_cpu_kfac_fit_sec"]
+
+
+def main() -> None:
+    torch_sec = get_torch_baseline()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from laplace_jax import FullLLLaplace, KronLaplace
+    from laplace_jax.models import ResNet18
+    from laplace_jax.nnmodel import NNModel
+    from laplace_jax.utils.data import ArrayLoader
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((N_DATA, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 10, size=(N_DATA,))
+    loader = ArrayLoader(X, y, batch_size=BATCH)
+
+    model = ResNet18()
+    params = model.init(jax.random.key(0), jnp.asarray(X[:1]))
+    nnm = NNModel.from_flax(model, params)
+
+    # ---- headline: all-weights KFAC fit ------------------------------------
+    la = KronLaplace(nnm, "classification")
+    la.fit(loader)  # compile warm-up (jit caches the curvature closure)
+    jax.block_until_ready(la.H.deltas)
+    t0 = time.perf_counter()
+    la.fit(loader)
+    jax.block_until_ready(la.H.deltas)
+    kfac_sec = time.perf_counter() - t0
+
+    # ---- marglik hyper-steps/sec on the fitted posterior -------------------
+    import optax
+
+    log_pp = jnp.zeros(1, dtype=jnp.float32)
+    opt = optax.adam(0.1)
+    state = opt.init(log_pp)
+
+    @jax.jit
+    def step(lp, st):
+        g = jax.grad(lambda l: -la._log_marglik(jnp.exp(l), la.sigma_noise))(lp)
+        upd, st = opt.update(g, st)
+        return optax.apply_updates(lp, upd), st
+
+    log_pp, state = step(log_pp, state)  # compile
+    jax.block_until_ready(log_pp)
+    n_steps = 100
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        log_pp, state = step(log_pp, state)
+    jax.block_until_ready(log_pp)
+    marglik_steps_per_sec = n_steps / (time.perf_counter() - t0)
+
+    # ---- GLM predictive samples/sec (last-layer posterior) ------------------
+    la_ll = FullLLLaplace(nnm, "classification")
+    la_ll.fit(loader)
+    n_samples = 100
+    Xj = jnp.asarray(X[:BATCH])
+    s = la_ll.predictive_samples(Xj, pred_type="glm", n_samples=n_samples)
+    jax.block_until_ready(s)  # compile
+    reps = max(1, N_DATA // BATCH)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s = la_ll.predictive_samples(Xj, pred_type="glm", n_samples=n_samples)
+    jax.block_until_ready(s)
+    glm_samples_per_sec = reps * BATCH * n_samples / (time.perf_counter() - t0)
+
+    result = {
+        "metric": "kfac_fit_sec_resnet18_cifar",
+        "value": round(kfac_sec, 4),
+        "unit": "s",
+        "vs_baseline": round(torch_sec / kfac_sec, 2),
+        "torch_cpu_kfac_fit_sec": round(torch_sec, 2),
+        "glm_predictive_samples_per_sec": round(glm_samples_per_sec, 1),
+        "marglik_steps_per_sec": round(marglik_steps_per_sec, 1),
+        "n_data": N_DATA,
+        "batch": BATCH,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Laplace on a transformer with dict-shaped (HF-style) inputs.
+
+JAX counterpart of the reference's `examples/huggingface_example.py` (GPT-2
+sequence classification with last-layer Laplace over MutableMapping batches):
+a small flax transformer encoder takes `{"input_ids", "attention_mask"}` dicts;
+the Laplace machinery consumes dict batches via `dict_key_x`/`dict_key_y` and
+reduces sequence features via `feature_reduction` (reference
+`laplace/utils/feature_extractor.py:112-127`). No pretrained downloads
+(zero-egress); the mechanics match a HF `FlaxAutoModel` wrapped the same way.
+
+Run: PYTHONPATH=. python examples/huggingface_example.py
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from laplace_jax import Laplace
+from laplace_jax.nnmodel import NNModel
+from laplace_jax.utils.data import ArrayLoader
+
+
+class TinyTransformerClassifier(nn.Module):
+    vocab: int = 128
+    dim: int = 32
+    num_classes: int = 2
+
+    @nn.compact
+    def __call__(self, batch):
+        ids = batch["input_ids"]  # (B, T)
+        mask = batch["attention_mask"]  # (B, T)
+        x = nn.Embed(self.vocab, self.dim)(ids)
+        attn = nn.SelfAttention(num_heads=4, qkv_features=self.dim)(
+            x, mask=mask[:, None, None, :].astype(bool)
+        )
+        x = x + attn
+        x = x + nn.Dense(self.dim)(jax.nn.gelu(nn.Dense(2 * self.dim)(x)[..., :self.dim]))
+        # mean-pool over valid tokens, then classify
+        denom = jnp.maximum(mask.sum(-1, keepdims=True), 1)
+        pooled = (x * mask[..., None]).sum(1) / denom
+        return nn.Dense(self.num_classes)(pooled)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    B, T = 64, 12
+    ids = rng.integers(1, 128, size=(B, T))
+    mask = np.ones((B, T), dtype=np.int32)
+    # pad tails randomly
+    for i in range(B):
+        pad = rng.integers(0, 5)
+        if pad:
+            mask[i, -pad:] = 0
+            ids[i, -pad:] = 0
+    labels = (ids[:, 0] % 2).astype(np.int64)
+
+    data = {"input_ids": ids, "attention_mask": mask, "labels": labels}
+    loader = ArrayLoader(data, batch_size=16)
+
+    model = TinyTransformerClassifier()
+    params = model.init(
+        jax.random.key(0), {k: jnp.asarray(v[:1]) for k, v in data.items()}
+    )
+    nnm = NNModel.from_flax(model, params)
+
+    # last-layer Laplace over dict batches: the classifier head is discovered
+    # automatically; labels come from dict_key_y
+    la = Laplace(
+        nnm, "classification", subset_of_weights="last_layer",
+        hessian_structure="full", dict_key_x="input_ids", dict_key_y="labels",
+    )
+    la.fit(loader)
+    la.optimize_prior_precision(method="marglik", n_steps=30)
+
+    test = {
+        "input_ids": jnp.asarray(ids[:8]),
+        "attention_mask": jnp.asarray(mask[:8]),
+        "labels": jnp.asarray(labels[:8]),
+    }
+    probs = la(test, link_approx="probit")
+    print("last layer discovered at:", la.last_layer_path)
+    print("probit predictive (rows sum to 1):")
+    print(np.asarray(probs).round(3))
+
+    # subnetwork Laplace over just the attention output projection, the
+    # dict-input analogue of the reference's grad-switch subnetwork LA
+    from laplace_jax.utils.subnetmask import ModuleNameSubnetMask
+
+    mask_sel = ModuleNameSubnetMask(nnm, ["Dense_2"])
+    idx = mask_sel.select(loader)
+    la_sub = Laplace(
+        nnm, "classification", subset_of_weights="subnetwork",
+        hessian_structure="diag", subnetwork_indices=idx,
+        dict_key_x="input_ids", dict_key_y="labels",
+    )
+    la_sub.fit(loader)
+    probs_sub = la_sub(test, link_approx="probit")
+    print(f"subnetwork ({len(idx)} params) predictive ok:",
+          bool(np.isfinite(np.asarray(probs_sub)).all()))
+
+
+if __name__ == "__main__":
+    main()

@@ -169,9 +169,18 @@ class NNModel:
             if isinstance(module, nn.Dense):
                 taps.append(LayerTap(path, args[0], out, "dense"))
             else:
+                ksize = module.kernel_size
+                if isinstance(ksize, int):
+                    ksize = (ksize,) * (args[0].ndim - 2)
+                ksize = tuple(ksize)
+                strides = module.strides
+                if strides is None:
+                    strides = (1,) * len(ksize)
+                elif isinstance(strides, int):
+                    strides = (strides,) * len(ksize)
                 spec = dict(
-                    kernel_size=tuple(module.kernel_size),
-                    strides=tuple(module.strides or (1,) * len(module.kernel_size)),
+                    kernel_size=ksize,
+                    strides=tuple(strides),
                     padding=module.padding,
                     input_dilation=module.input_dilation,
                     kernel_dilation=module.kernel_dilation,

@@ -54,6 +54,28 @@ class RunningMSEMetric:
         return self.sq_sum / max(self.n, 1)
 
 
+def expected_calibration_error(
+    probs: jnp.ndarray, targets: jnp.ndarray, n_bins: int = 15
+) -> float:
+    """Standard binned ECE over max-probability confidence (the metric the
+    reference's calibration examples report, `docs/calibration_example.md`)."""
+    import numpy as np
+
+    probs = np.asarray(probs)
+    targets = np.asarray(targets)
+    conf = probs.max(-1)
+    pred = probs.argmax(-1)
+    acc = (pred == targets).astype(np.float64)
+    bins = np.linspace(0.0, 1.0, n_bins + 1)
+    ece = 0.0
+    for lo, hi in zip(bins[:-1], bins[1:]):
+        sel = (conf > lo) & (conf <= hi)
+        if sel.sum() == 0:
+            continue
+        ece += sel.mean() * abs(acc[sel].mean() - conf[sel].mean())
+    return float(ece)
+
+
 def get_nll(out_dist: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Mean NLL of class-probability predictions (reference `utils/utils.py:35-36`)."""
     logp = jnp.log(out_dist)[jnp.arange(targets.shape[0]), targets]
