@@ -47,6 +47,15 @@ def main() -> None:
     torch_sec = get_torch_baseline()
 
     import jax
+
+    # persistent compilation cache: the big KFAC closure for ResNet-18 takes
+    # minutes to compile on the remote TPU toolchain; cache it across runs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -480,12 +480,11 @@ class ParametricLaplace(BaseLaplace):
         if not self.enable_backprop:
             self.mean = jax.lax.stop_gradient(self.mean)
 
-        # probe one batch for the output dimension
+        # probe one batch for the output dimension — eval_shape only, no compute
         data = next(iter(train_loader))
         X_probe, _ = self._unpack_batch(data)
-        out = self.model.apply(
-            self.model.train_params,
-            _probe(X_probe),
+        out = jax.eval_shape(
+            self.model.apply, self.model.train_params, _probe(X_probe)
         )
         self.n_outputs = out.shape[-1]
 
@@ -1010,7 +1009,7 @@ class LowRankLaplace(ParametricLaplace):
 
         data = next(iter(train_loader))
         X, y = self._unpack_batch(data)
-        out = self.model.apply(self.model.train_params, _probe(X))
+        out = jax.eval_shape(self.model.apply, self.model.train_params, _probe(X))
         if self.likelihood == Likelihood.REGRESSION and jnp.ndim(y) != out.ndim:
             raise ValueError(
                 f"The model's output has {out.ndim} dims but the target has "

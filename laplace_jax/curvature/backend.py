@@ -85,6 +85,7 @@ class CurvatureBackend:
         else:
             self.lossfunc = cross_entropy_sum
             self.factor = 1.0
+        self._jit_dispatch = None  # jitted jacobian fn for the predictive path
 
     # ------------------------------------------------------------------ jacs
     def jacobians(self, x, theta: Optional[jnp.ndarray] = None):
@@ -94,7 +95,7 @@ class CurvatureBackend:
         theta = self.model.mean_vector if theta is None else theta
 
         def f_fn(t):
-            return self.model.apply_vec(t, x)
+            return self.model.apply_vec_curv(t, x)
 
         Js = jax.jacrev(f_fn)(theta)  # (B, C, P)
         f = f_fn(theta)
@@ -102,7 +103,7 @@ class CurvatureBackend:
             Js = Js[:, :, self.subnetwork_indices]
         return Js, f
 
-    def last_layer_jacobians(self, x, theta_ll: Optional[jnp.ndarray] = None):
+    def last_layer_jacobians(self, x, train_params=None):
         """Closed-form last-layer Jacobians via features φ.
 
         flax flatten order within a Dense layer is (bias, kernel); the kernel is
@@ -111,8 +112,11 @@ class CurvatureBackend:
         """
         if self.last_layer_path is None:
             raise ValueError("last_layer_path not set on backend.")
+        train_params = (
+            self.model.train_params if train_params is None else train_params
+        )
         f, phi = self.model.apply_with_features(
-            self.model.train_params, x, self.last_layer_path, self.feature_reduction
+            train_params, x, self.last_layer_path, self.feature_reduction
         )
         B = phi.shape[0]
         C = f.shape[-1]
@@ -131,9 +135,21 @@ class CurvatureBackend:
         return Js, f
 
     def _jacobians_dispatch(self, x):
-        if self.last_layer:
-            return self.last_layer_jacobians(x)
-        return self.jacobians(x)
+        """Jitted Jacobian path for predictives; the current parameters are a
+        traced argument so later `set_params` calls stay correct."""
+        if self._jit_dispatch is None:
+            if self.last_layer:
+                self._jit_dispatch = jax.jit(
+                    lambda tp, xx: self.last_layer_jacobians(xx, train_params=tp)
+                )
+            else:
+                self._jit_dispatch = jax.jit(
+                    lambda th, xx: self.jacobians(xx, theta=th)
+                )
+        arg = (
+            self.model.train_params if self.last_layer else self.model.mean_vector
+        )
+        return self._jit_dispatch(arg, x)
 
     # -------------------------------------------------------------- gradients
     def gradients(self, x, y):
@@ -142,12 +158,12 @@ class CurvatureBackend:
         theta = self.model.mean_vector
 
         def loss_single(t, xi, yi):
-            f = self.model.apply_vec(t, _expand(xi))
+            f = self.model.apply_vec_curv(t, _expand(xi))
             return self.lossfunc(f, _expand(yi))
 
         grad_fn = jax.grad(loss_single)
         Gs = jax.vmap(grad_fn, in_axes=(None, 0, 0))(theta, x, y)
-        loss = self.lossfunc(self.model.apply_vec(theta, x), y)
+        loss = self.lossfunc(self.model.apply_vec_curv(theta, x), y)
         if self.subnetwork_indices is not None:
             Gs = Gs[:, self.subnetwork_indices]
         return Gs, loss
@@ -190,7 +206,7 @@ class CurvatureBackend:
             theta = self.model.mean_vector
 
             def total_loss(t):
-                return self.lossfunc(self.model.apply_vec(t, x), y)
+                return self.lossfunc(self.model.apply_vec_curv(t, x), y)
 
             H = jax.hessian(total_loss)(theta)
             if self.subnetwork_indices is not None:
@@ -281,9 +297,10 @@ def _expand(v):
 
 
 def _under(leaf_path, module_path) -> bool:
-    lp, mp = list(leaf_path), list(module_path)
-    m = len(mp)
-    return any(lp[i : i + m] == mp for i in range(len(lp) - m + 1))
+    """Exact module ownership (see `nnmodel._path_contains`)."""
+    from laplace_jax.nnmodel import _leaf_module_path
+
+    return _leaf_module_path(leaf_path) == tuple(module_path)
 
 
 # -- reference-style named backends (API familiarity) ---------------------------

@@ -168,8 +168,12 @@ def kfac_factors(
                 a2 = a.reshape(-1, a.shape[-1])
                 T = a2.shape[0] // a.shape[0]
                 A = jnp.einsum("bi,bj->ij", a2, a2) / (N * T)
-        else:  # conv
-            patches = conv_patches(t.inputs, t.conv_spec)
+        else:  # conv: reuse the im2col patches from the matmul rewrite if present
+            if t.patches is not None:
+                patches = t.patches.reshape(t.patches.shape[0], -1,
+                                            t.patches.shape[-1])
+            else:
+                patches = conv_patches(t.inputs, t.conv_spec)
             T = patches.shape[1]
             A = jnp.einsum("btk,btl->kl", patches, patches) / (N * T)
         A_facs[t.path] = A
@@ -209,6 +213,7 @@ def _grad_cov(g: jnp.ndarray) -> jnp.ndarray:
 
 
 def _under(leaf_path, module_path) -> bool:
-    lp, mp = list(leaf_path), list(module_path)
-    m = len(mp)
-    return any(lp[i : i + m] == mp for i in range(len(lp) - m + 1))
+    """Exact module ownership (see `nnmodel._path_contains`)."""
+    from laplace_jax.nnmodel import _leaf_module_path
+
+    return _leaf_module_path(leaf_path) == tuple(module_path)

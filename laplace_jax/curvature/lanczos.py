@@ -28,7 +28,7 @@ def _batch_hvp_fn(backend):
         @jax.jit
         def hvp(theta, v, x, y):
             def total_loss(t):
-                return lossfunc(model.apply_vec(t, x), y)
+                return lossfunc(model.apply_vec_curv(t, x), y)
 
             return jax.jvp(jax.grad(total_loss), (theta,), (v,))[1]
 
@@ -37,7 +37,7 @@ def _batch_hvp_fn(backend):
         @jax.jit
         def hvp(theta, v, x, y):
             def f_fn(t):
-                return model.apply_vec(t, x)
+                return model.apply_vec_curv(t, x)
 
             f, Jv = jax.jvp(f_fn, (theta,), (v,))
             if backend.likelihood == Likelihood.REGRESSION:
@@ -112,7 +112,7 @@ def lanczos_eig_curvature(backend, loader, low_rank: int = 10):
 
     # total loss over the dataset at the MAP
     loss = 0.0
-    loss_fn = jax.jit(lambda t, x, y: backend.lossfunc(model.apply_vec(t, x), y))
+    loss_fn = jax.jit(lambda t, x, y: backend.lossfunc(model.apply_vec_curv(t, x), y))
     for x, y in batches:
         loss += float(loss_fn(theta, jnp.asarray(x), jnp.asarray(y)))
     loss = backend.factor * loss

@@ -85,16 +85,18 @@ class FunctionalLaplace(BaseLaplace):
 
     # ---------------------------------------------------------------- fitting
     def _jacobians(self, x):
-        """Jacobian hook; overridden by the last-layer variant
+        """Jacobian hook (jitted); overridden by the last-layer variant
         (reference `baselaplace.py:3124-3131`)."""
-        return self.backend.jacobians(_as_device(x))
+        return self.backend._jacobians_dispatch(_as_device(x))
 
     def fit(self, train_loader, progress_bar: bool = False) -> None:
         """Build K_MM, Λ, and the Cholesky of (K_MM + Λ⁻¹) on an SoD subset
         (reference `baselaplace.py:2420-2534`)."""
         data = next(iter(train_loader))
         X_probe, _ = self._unpack_batch(data)
-        out = self.model.apply(self.model.train_params, _probe(X_probe))
+        out = jax.eval_shape(
+            self.model.apply, self.model.train_params, _probe(X_probe)
+        )
         self.n_outputs = out.shape[-1]
 
         if (
@@ -574,7 +576,7 @@ class FunctionalLLLaplace(FunctionalLaplace):
         super().fit(train_loader, progress_bar=progress_bar)
 
     def _jacobians(self, x):
-        return self.backend.last_layer_jacobians(_as_device(x))
+        return self.backend._jacobians_dispatch(_as_device(x))
 
     def state_dict(self) -> dict:
         sd = super().state_dict()

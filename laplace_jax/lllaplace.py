@@ -127,17 +127,17 @@ class LLLaplace(ParametricLaplace):
         """Last-layer GLM predictive with optional `functional_variance_fast`
         diagonal shortcut (reference `lllaplace.py:212-237`)."""
         if joint:
-            Js, f_mu = self.backend.last_layer_jacobians(_as_device(x))
+            Js, f_mu = self.backend._jacobians_dispatch(_as_device(x))
             f_mu = f_mu.ravel()
             f_var = self.functional_covariance(Js)
         elif diagonal_output:
             try:
                 f_mu, f_var = self.functional_variance_fast(_as_device(x))
             except NotImplementedError:
-                Js, f_mu = self.backend.last_layer_jacobians(_as_device(x))
+                Js, f_mu = self.backend._jacobians_dispatch(_as_device(x))
                 f_var = jnp.diagonal(self.functional_variance(Js), axis1=-2, axis2=-1)
         else:
-            Js, f_mu = self.backend.last_layer_jacobians(_as_device(x))
+            Js, f_mu = self.backend._jacobians_dispatch(_as_device(x))
             f_var = self.functional_variance(Js)
         if not self.enable_backprop:
             f_mu, f_var = jax.lax.stop_gradient((f_mu, f_var))
@@ -146,7 +146,7 @@ class LLLaplace(ParametricLaplace):
     def functional_variance_fast(self, x):
         """Diagonal-output variance shortcut; overridden where a trick exists
         (reference `lllaplace.py:239-256`)."""
-        Js, f_mu = self.backend.last_layer_jacobians(_as_device(x))
+        Js, f_mu = self.backend._jacobians_dispatch(_as_device(x))
         f_var = jnp.diagonal(self.functional_variance(Js), axis1=-2, axis2=-1)
         return f_mu, f_var
 

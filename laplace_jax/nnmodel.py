@@ -44,12 +44,13 @@ except Exception:  # pragma: no cover
 class LayerTap:
     """Record of one intercepted linear layer execution."""
 
-    def __init__(self, path, inputs, outputs, kind, conv_spec=None):
+    def __init__(self, path, inputs, outputs, kind, conv_spec=None, patches=None):
         self.path = path  # tuple[str, ...] module path
         self.inputs = inputs  # layer input activations
         self.outputs = outputs  # layer output (post-offset)
         self.kind = kind  # "dense" | "conv"
         self.conv_spec = conv_spec  # dict for conv patch extraction
+        self.patches = patches  # im2col patches when the matmul rewrite ran
 
 
 class NNModel:
@@ -162,37 +163,83 @@ class NNModel:
                 module, (nn.Dense, nn.Conv)
             ):
                 return next_fun(*args, **kwargs)
-            out = next_fun(*args, **kwargs)
             path = tuple(module.path)
+            if isinstance(module, nn.Dense):
+                out = next_fun(*args, **kwargs)
+                if offsets is not None and path in offsets:
+                    out = out + offsets[path]
+                taps.append(LayerTap(path, args[0], out, "dense"))
+                return out
+
+            # Conv: prefer the im2col-matmul rewrite — identical math, but its
+            # autodiff is pure matmul/slice transposes (conv backward ops are
+            # by far the slowest-compiling TPU primitives), and KFAC reuses
+            # the patches for its activation factor.
+            a = args[0]
+            ksize = module.kernel_size
+            if isinstance(ksize, int):
+                ksize = (ksize,) * (a.ndim - 2)
+            ksize = tuple(ksize)
+            strides = module.strides
+            if strides is None:
+                strides = (1,) * len(ksize)
+            elif isinstance(strides, int):
+                strides = (strides,) * len(ksize)
+            strides = tuple(strides)
+            spec = dict(
+                kernel_size=ksize,
+                strides=strides,
+                padding=module.padding,
+                input_dilation=module.input_dilation,
+                kernel_dilation=module.kernel_dilation,
+                feature_group_count=module.feature_group_count,
+            )
+            rewritable = (
+                module.feature_group_count == 1
+                and module.input_dilation in (None, 1)
+                and getattr(module, "mask", None) is None
+                and (
+                    not isinstance(module.padding, str)
+                    or module.padding.upper() in ("SAME", "VALID")
+                )
+            )
+            if rewritable:
+                from laplace_jax.ops.im2col import im2col
+
+                kdil = module.kernel_dilation
+                if kdil is None or isinstance(kdil, int):
+                    kdil = (kdil or 1,) * len(ksize)
+                patches = im2col(a, ksize, strides, module.padding, tuple(kdil))
+                kernel = module.get_variable("params", "kernel")
+                out = patches @ kernel.reshape(-1, kernel.shape[-1])
+                if module.has_variable("params", "bias"):
+                    out = out + module.get_variable("params", "bias")
+                if module.dtype is not None:
+                    out = out.astype(module.dtype)
+            else:
+                patches = None
+                out = next_fun(*args, **kwargs)
             if offsets is not None and path in offsets:
                 out = out + offsets[path]
-            if isinstance(module, nn.Dense):
-                taps.append(LayerTap(path, args[0], out, "dense"))
-            else:
-                ksize = module.kernel_size
-                if isinstance(ksize, int):
-                    ksize = (ksize,) * (args[0].ndim - 2)
-                ksize = tuple(ksize)
-                strides = module.strides
-                if strides is None:
-                    strides = (1,) * len(ksize)
-                elif isinstance(strides, int):
-                    strides = (strides,) * len(ksize)
-                spec = dict(
-                    kernel_size=ksize,
-                    strides=tuple(strides),
-                    padding=module.padding,
-                    input_dilation=module.input_dilation,
-                    kernel_dilation=module.kernel_dilation,
-                    feature_group_count=module.feature_group_count,
-                )
-                taps.append(LayerTap(path, args[0], out, "conv", spec))
+            taps.append(LayerTap(path, a, out, "conv", spec, patches))
             return out
 
         params = self.full_params(train_params)
         with nn.intercept_methods(interceptor):
             f = self.module.apply(params, x)
         return f, taps
+
+    def apply_curv(self, train_params, x):
+        """Curvature-path forward: conv layers run as im2col matmuls so all
+        autodiff through the model avoids conv-backward primitives. Falls back
+        to the plain apply for non-flax models."""
+        if self.module is None:
+            return self.apply(train_params, x)
+        f, _ = self.apply_with_taps(train_params, x)
+        return f
+
+    def apply_vec_curv(self, theta: jnp.ndarray, x) -> jnp.ndarray:
+        return self.apply_curv(self._unflatten(theta), x)
 
     def linear_layer_paths(self, x) -> list[LayerTap]:
         """Run one probing forward (like the reference's `model(X[:1])` probe,
@@ -281,11 +328,18 @@ def _key_to_str(k) -> str:
     return str(k)
 
 
+def _leaf_module_path(leaf_path: Sequence[str]) -> tuple:
+    """Module path of a parameter leaf: strip the collection prefix ('params')
+    and the parameter name. flax leaf paths look like
+    ('params', 'ResidualBlock_0', 'Conv_0', 'kernel')."""
+    lp = list(leaf_path)
+    if lp and lp[0] == "params":
+        lp = lp[1:]
+    return tuple(lp[:-1])
+
+
 def _path_contains(leaf_path: Sequence[str], module_path: Sequence[str]) -> bool:
-    """True if the module path occurs as a contiguous subsequence of the leaf's
-    param path (flax leaf paths look like ('params', 'Dense_1', 'kernel'))."""
-    lp, mp = list(leaf_path), list(module_path)
-    n, m = len(lp), len(mp)
-    if m == 0:
-        return False
-    return any(lp[i : i + m] == mp for i in range(n - m + 1))
+    """True iff the leaf belongs EXACTLY to the module at `module_path` (full
+    path from the root module). Subsequence matching is wrong: a root-level
+    'Conv_0' must not claim 'ResidualBlock_3/Conv_0' leaves."""
+    return _leaf_module_path(leaf_path) == tuple(module_path)

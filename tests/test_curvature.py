@@ -261,3 +261,33 @@ def test_lanczos_lowrank_matches_dense_eigh(mlp_model):
     Hv = H @ np.asarray(V)
     np.testing.assert_allclose(Hv, np.asarray(V * lam), atol=1e-6)
     np.testing.assert_allclose(float(loss), float(l1 + l2), rtol=1e-10)
+
+
+def test_kfac_nested_module_paths():
+    """Regression: a root-level Conv_0 must not claim nested Block/Conv_0
+    leaves — KFAC factors must align with each leaf's exact module."""
+    import flax.linen as nn
+
+    class Block(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return jax.nn.relu(nn.Dense(4, param_dtype=jnp.float64)(x))
+
+    class Nested(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(4, param_dtype=jnp.float64)(x)  # root Dense_0
+            x = Block()(x)  # Block_0/Dense_0
+            return nn.Dense(2, param_dtype=jnp.float64)(x)
+
+    rngs = np.random.default_rng(0)
+    X = jnp.asarray(rngs.standard_normal((6, 3)))
+    y = jnp.asarray(rngs.integers(0, 2, size=(6,)))
+    model = Nested()
+    params = model.init(jax.random.key(0), X[:1])
+    nnm = NNModel.from_flax(model, params)
+    backend = CurvatureBackend(nnm, "classification")
+    loss, kron = backend.kron(X[:1], y[:1], N=1)
+    assert sum(kron.group_sizes) == nnm.n_params
+    _, dggn = backend.diag(X[:1], y[:1])
+    np.testing.assert_allclose(np.asarray(kron.diag()), np.asarray(dggn), atol=1e-9)
