@@ -25,7 +25,20 @@ from laplace_jax.utils.prior import (
     expand_prior_precision_sizes,
     fix_prior_prec_structure,
 )
+from laplace_jax.utils.serialization import load_state_dict, save_state_dict
 from laplace_jax.utils.sod import sod_indices
+from laplace_jax.utils.subnetmask import (
+    LargestMagnitudeSubnetMask,
+    LargestVarianceDiagLaplaceSubnetMask,
+    LargestVarianceSWAGSubnetMask,
+    LastLayerSubnetMask,
+    ModuleNameSubnetMask,
+    ParamNameSubnetMask,
+    RandomSubnetMask,
+    SubnetMask,
+)
+from laplace_jax.utils.swag import fit_diagonal_swag_var
+from laplace_jax.utils.validate import validate
 
 __all__ = [
     "ArrayLoader",
@@ -54,4 +67,16 @@ __all__ = [
     "expand_prior_precision_sizes",
     "fix_prior_prec_structure",
     "sod_indices",
+    "save_state_dict",
+    "load_state_dict",
+    "SubnetMask",
+    "RandomSubnetMask",
+    "LargestMagnitudeSubnetMask",
+    "LargestVarianceDiagLaplaceSubnetMask",
+    "LargestVarianceSWAGSubnetMask",
+    "ParamNameSubnetMask",
+    "ModuleNameSubnetMask",
+    "LastLayerSubnetMask",
+    "fit_diagonal_swag_var",
+    "validate",
 ]

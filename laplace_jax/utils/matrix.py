@@ -124,7 +124,12 @@ class Kron:
         return _group_sizes(self.kfacs)
 
     def decompose(self, damping: bool = False) -> "KronDecomposed":
-        """Eigendecompose each factor (reference `matrix.py:123-150`)."""
+        """Eigendecompose each factor (reference `matrix.py:123-150`).
+
+        One `eigh` dispatch per factor; the compiled program is shared across
+        equal-shaped factors via the jit cache (and persists across processes
+        when a compilation cache dir is configured), so deep conv nets pay one
+        compile per unique factor shape."""
         eigvecs, eigvals = [], []
         for F in self.kfacs:
             Qs, ls = [], []

@@ -94,3 +94,30 @@ def test_prior_expansion():
     assert fix_prior_prec_structure(1.0, "scalar", n_leaves, P).shape == (1,)
     assert fix_prior_prec_structure(1.0, "layerwise", n_leaves, P).shape == (n_leaves,)
     assert fix_prior_prec_structure(1.0, "diag", n_leaves, P).shape == (P,)
+
+
+def test_im2col_matches_conv():
+    import jax.numpy as jnp
+    from laplace_jax.ops.im2col import im2col
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 9, 9, 3)))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 5)))
+    for pad, stride, dil in [("SAME", (1, 1), (1, 1)), ("VALID", (2, 2), (1, 1)),
+                             ("SAME", (2, 2), (2, 2))]:
+        ref = jax.lax.conv_general_dilated(
+            x, k, stride, pad, rhs_dilation=dil,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        p = im2col(x, (3, 3), stride, pad, dil)
+        out = p @ k.reshape(-1, 5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+
+
+def test_syrk_cpu_fallback():
+    from laplace_jax.ops.syrk import syrk, syrk_reference
+
+    rng = np.random.default_rng(4)
+    A = jnp.asarray(rng.standard_normal((40, 256)))
+    np.testing.assert_allclose(
+        np.asarray(syrk(A)), np.asarray(syrk_reference(A)), atol=1e-10
+    )
