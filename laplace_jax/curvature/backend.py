@@ -218,12 +218,21 @@ class CurvatureBackend:
         if self.stochastic:
             key = jax.random.key(0) if key is None else key
             lam = self._mc_functional_fisher(f, key)
-        else:
-            lam = self._functional_hessian(f)
-        if lam is None:
-            H = jnp.einsum("bcp,bcq->pq", Js, Js)
-        else:
             H = jnp.einsum("bcp,bck,bkq->pq", Js, lam, Js)
+        else:
+            # symmetric rank-k form H = MᵀM with M the Λ^{1/2}-weighted
+            # Jacobian rows — halves the MXU work via the Pallas SYRK kernel
+            # on aligned TPU shapes (falls back to a plain einsum otherwise)
+            from laplace_jax.curvature.kfac import _sqrt_hessian_cotangents
+            from laplace_jax.ops.syrk import syrk
+
+            B, C, P = Js.shape
+            if self.likelihood == Likelihood.REGRESSION:
+                M = Js.reshape(B * C, P)
+            else:
+                S = _sqrt_hessian_cotangents(f, self.likelihood, f.dtype)
+                M = jnp.einsum("cbk,bkp->bcp", S, Js).reshape(B * C, P)
+            H = syrk(M)
         loss = self.factor * self.lossfunc(f, y)
         return loss, H
 
