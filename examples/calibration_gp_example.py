@@ -15,6 +15,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 import warnings
-from typing import Any, Callable, Mapping, Optional
+from typing import Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -639,7 +639,10 @@ class ParametricLaplace(BaseLaplace):
 
     def _glm_predictive_distribution(self, x, joint=False, diagonal_output=False):
         """Jacobian-based GLM predictive (reference `baselaplace.py:1306-1342`)."""
-        Js, f_mu = self.backend._jacobians_dispatch(_as_device(x))
+        xd = _as_device(x)
+        if self.parallel is not None:
+            xd = self.parallel.shard_batch(xd)
+        Js, f_mu = self.backend._jacobians_dispatch(xd)
         if joint:
             f_mu = f_mu.ravel()
             f_var = self.functional_covariance(Js)

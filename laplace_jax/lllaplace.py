@@ -10,7 +10,6 @@ like the reference (`lllaplace.py:142-160`).
 
 from __future__ import annotations
 
-import warnings
 from typing import Optional
 
 import jax
@@ -24,7 +23,7 @@ from laplace_jax.baselaplace import (
     _as_device,
     _probe,
 )
-from laplace_jax.enums import FeatureReduction, Likelihood
+from laplace_jax.enums import FeatureReduction
 from laplace_jax.nnmodel import NNModel
 from laplace_jax.utils.matrix import Kron
 

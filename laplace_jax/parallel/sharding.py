@@ -18,8 +18,7 @@ Two modes:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Mapping, Optional
+from typing import Callable, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -188,3 +187,19 @@ class DataParallel:
         if self.explicit:
             return shard_map_closure(closure, self.mesh, self.axis_name, model=model)
         return shard_closure(closure, self.mesh, self.axis_name)
+
+    def shard_batch(self, x):
+        """Place a test batch sharded over the data axis so downstream jitted
+        predictives (Jacobians, GLM variance einsums) run data-parallel; batch
+        sizes not divisible by the mesh are left as-is."""
+        sharding = _batch_spec(self.mesh, self.axis_name)
+        n_dev = self.mesh.shape[self.axis_name]
+
+        def put(v):
+            if v.shape[0] % n_dev != 0:
+                return v
+            return jax.device_put(v, sharding)
+
+        if isinstance(x, Mapping):
+            return {k: put(jnp.asarray(v)) for k, v in x.items()}
+        return put(jnp.asarray(x))

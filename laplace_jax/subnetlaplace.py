@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from laplace_jax.baselaplace import DiagLaplace, FullLaplace, ParametricLaplace
-from laplace_jax.enums import Likelihood
 
 __all__ = ["SubnetLaplace", "FullSubnetLaplace", "DiagSubnetLaplace"]
 

@@ -6,10 +6,9 @@ batch and aggregates a running metric (or an offline callable).
 
 from __future__ import annotations
 
-from typing import Callable, Mapping
+from typing import Mapping
 
 import jax.numpy as jnp
-import numpy as np
 
 from laplace_jax.enums import LinkApprox, PredType
 

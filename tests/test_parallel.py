@@ -95,3 +95,18 @@ def test_sharded_regression_full(model):
         float(la_ref.log_marginal_likelihood()),
         rtol=1e-10,
     )
+
+
+def test_sharded_predictive_matches(model, loader):
+    la_ref = FullLaplace(model, "classification")
+    la_ref.fit(loader)
+    la_dp = FullLaplace(model, "classification", parallel=DataParallel(data_mesh()))
+    la_dp.fit(loader)
+    X, _ = classification_data(n=16)  # divisible by 8
+    p_ref = la_ref(X, link_approx="probit")
+    p_dp = la_dp(X, link_approx="probit")
+    np.testing.assert_allclose(np.asarray(p_dp), np.asarray(p_ref), atol=1e-10)
+    # uneven batch falls back to unsharded placement
+    X2, _ = classification_data(n=10)
+    p2 = la_dp(X2, link_approx="probit")
+    assert p2.shape == (10, 2)
