@@ -56,11 +56,12 @@ class FunctionalLaplace(BaseLaplace):
                  prior_precision=1.0, prior_mean=0.0, temperature=1.0,
                  enable_backprop: bool = False, dict_key_x="input_ids",
                  dict_key_y="labels", backend="ggn", backend_kwargs=None,
-                 independent_outputs: bool = False, seed: int = 0, params=None):
+                 independent_outputs: bool = False, seed: int = 0, params=None,
+                 parallel=None):
         self._check_prior_precision(prior_precision)
         super().__init__(model, likelihood, sigma_noise, prior_precision,
                          prior_mean, temperature, enable_backprop, dict_key_x,
-                         dict_key_y, backend, backend_kwargs, params)
+                         dict_key_y, backend, backend_kwargs, params, parallel)
         self.n_subset = n_subset
         self.independent_outputs = independent_outputs
         self.seed = seed
@@ -87,7 +88,10 @@ class FunctionalLaplace(BaseLaplace):
     def _jacobians(self, x):
         """Jacobian hook (jitted); overridden by the last-layer variant
         (reference `baselaplace.py:3124-3131`)."""
-        return self.backend._jacobians_dispatch(_as_device(x))
+        xd = _as_device(x)
+        if self.parallel is not None:
+            xd = self.parallel.shard_batch(xd)
+        return self.backend._jacobians_dispatch(xd)
 
     def fit(self, train_loader, progress_bar: bool = False) -> None:
         """Build K_MM, Λ, and the Cholesky of (K_MM + Λ⁻¹) on an SoD subset

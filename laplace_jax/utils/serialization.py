@@ -43,6 +43,13 @@ def _flatten_state(state: dict) -> tuple[dict, dict]:
             meta[key] = {"kind": "array_list", "n": len(val)}
             for i, v in enumerate(val):
                 arrays[f"{key}::item{i}"] = np.asarray(v)
+        elif isinstance(val, dict) and all(
+            isinstance(v, (jnp.ndarray, np.ndarray)) for v in val.values()
+        ):
+            # e.g. the last-layer discovery probe batch for dict-input models
+            meta[key] = {"kind": "array_dict", "keys": sorted(val.keys())}
+            for k in val:
+                arrays[f"{key}::key::{k}"] = np.asarray(val[k])
         elif val is None or isinstance(val, (bool, int, float, str)):
             meta[key] = {"kind": "scalar", "value": val}
         else:
@@ -84,6 +91,10 @@ def load_state_dict(path: str) -> dict:
                 state[key] = [
                     jnp.asarray(data[f"{key}::item{i}"]) for i in range(m["n"])
                 ]
+            elif m["kind"] == "array_dict":
+                state[key] = {
+                    k: jnp.asarray(data[f"{key}::key::{k}"]) for k in m["keys"]
+                }
             elif m["kind"] == "Kron":
                 leaves = [
                     jnp.asarray(data[f"{key}::leaf{i}"])
