@@ -97,7 +97,16 @@ def main():
     la.fit(ArrayLoader(X_train, y_train, batch_size=128))
     la.optimize_prior_precision(method="marglik")
     probs_laplace = la(jnp.asarray(X_test), link_approx="probit")
-    evaluate(probs_laplace, y_test, "Laplace (LL-KFAC, probit)")
+    evaluate(probs_laplace, y_test, "Laplace (LL-KFAC, probit, marglik)")
+
+    # alternative: gridsearch the prior on held-out NLL (reference's CV option)
+    X_val, y_val = make_synthetic_images(256, num_classes, seed=2)
+    la.optimize_prior_precision(
+        method="gridsearch", val_loader=ArrayLoader(X_val, y_val, batch_size=128),
+        grid_size=30, log_prior_prec_min=-2, log_prior_prec_max=4,
+    )
+    probs_grid = la(jnp.asarray(X_test), link_approx="probit")
+    evaluate(probs_grid, y_test, "Laplace (LL-KFAC, probit, gridsearch)")
 
 
 if __name__ == "__main__":

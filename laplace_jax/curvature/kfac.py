@@ -108,20 +108,36 @@ def kfac_factors(
 ):
     """Compute per-batch KFAC `Kron` factors and the (unscaled) batch loss."""
     train_params = model.train_params
-    f0, taps = model.apply_with_taps(train_params, x)
+    # shape-only probe (no compute) to size the offsets
+    _, tap_shapes = jax.eval_shape(
+        lambda tp, xx: model.apply_with_taps(tp, xx), train_params, x
+    )
     if last_layer_path is not None:
-        taps = [t for t in taps if t.path == last_layer_path]
-    if not taps:
+        tap_shapes = [t for t in tap_shapes if t.path == last_layer_path]
+    if not tap_shapes:
         raise ValueError("No Dense/Conv layers intercepted for KFAC.")
-    tap_by_path = {t.path: t for t in taps}
-    offsets = {t.path: jnp.zeros_like(t.outputs) for t in taps}
-    dtype = f0.dtype
+    # tie the zero offsets to x's device-varying-ness: under shard_map's
+    # varying-manual-axes semantics, differentiating w.r.t. an UNVARYING value
+    # auto-inserts a psum on its cotangent, which would double-reduce the
+    # per-shard output gradients. `0 * x[...]` is folded away by XLA outside
+    # shard contexts.
+    xleaf = jax.tree_util.tree_leaves(x)[0]
+    varying_zero = (xleaf.ravel()[0] * 0).astype(jnp.float32)
+    offsets = {
+        t.path: jnp.zeros(t.outputs.shape, t.outputs.dtype)
+        + varying_zero.astype(t.outputs.dtype)
+        for t in tap_shapes
+    }
 
+    # ONE forward pass: primal outputs + taps (activations/patches) as vjp aux
     def f_of_offsets(offs):
-        f2, _ = model.apply_with_taps(train_params, x, offs)
-        return f2
+        f2, taps2 = model.apply_with_taps(train_params, x, offs)
+        if last_layer_path is not None:
+            taps2 = [t for t in taps2 if t.path == last_layer_path]
+        return f2, taps2
 
-    f, vjp_fn = jax.vjp(f_of_offsets, offsets)
+    f, vjp_fn, taps = jax.vjp(f_of_offsets, offsets, has_aux=True)
+    dtype = f.dtype
 
     # ---- output-gradient factors B per layer ------------------------------
     if fisher_type == "exact":
@@ -202,7 +218,7 @@ def kfac_factors(
         else:
             raise ValueError(f"Unsupported parameter role {role} for KFAC.")
 
-    loss = lossfunc(f0, y)
+    loss = lossfunc(f, y)
     return loss, Kron(kfacs)
 
 

@@ -41,8 +41,14 @@ except Exception:  # pragma: no cover
     _HAS_FLAX = False
 
 
+@jax.tree_util.register_pytree_node_class
 class LayerTap:
-    """Record of one intercepted linear layer execution."""
+    """Record of one intercepted linear layer execution.
+
+    Registered as a pytree (arrays as children, identity as static aux) so a
+    taps list can cross jit/vjp/eval_shape boundaries — KFAC exploits this to
+    get activations and output-offsets from a single forward pass via
+    `jax.vjp(..., has_aux=True)`."""
 
     def __init__(self, path, inputs, outputs, kind, conv_spec=None, patches=None):
         self.path = path  # tuple[str, ...] module path
@@ -51,6 +57,28 @@ class LayerTap:
         self.kind = kind  # "dense" | "conv"
         self.conv_spec = conv_spec  # dict for conv patch extraction
         self.patches = patches  # im2col patches when the matmul rewrite ran
+
+    def tree_flatten(self):
+        children = (self.inputs, self.outputs, self.patches)
+        spec = self.conv_spec
+        if isinstance(spec, dict):
+            spec = tuple(sorted((k, _freeze(v)) for k, v in spec.items()))
+        aux = (self.path, self.kind, spec)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        path, kind, spec = aux
+        if isinstance(spec, tuple):
+            spec = {k: v for k, v in spec}
+        inputs, outputs, patches = children
+        return cls(path, inputs, outputs, kind, spec, patches)
+
+
+def _freeze(v):
+    if isinstance(v, list):
+        return tuple(v)
+    return v
 
 
 class NNModel:
