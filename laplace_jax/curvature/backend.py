@@ -235,9 +235,35 @@ class CurvatureBackend:
         loss = self.factor * self.lossfunc(f, y)
         return loss, H
 
+    def _can_use_taps(self) -> bool:
+        """Layer-tap fast paths need a flax module, whole-model scope, and all
+        trainable leaves living under intercepted Dense/Conv layers."""
+        if self.model.module is None or self.subnetwork_indices is not None:
+            return False
+        return all(s.path[-1] in ("kernel", "bias") for s in self.model.leaf_specs)
+
     # ------------------------------------------------------------------ diag
     def diag(self, x, y, N: int = 1, key: Optional[jax.Array] = None):
-        """Diagonal curvature (reference `curvature.py:413-433`, `:495-505`)."""
+        """Diagonal curvature (reference `curvature.py:413-433`, `:495-505`).
+
+        For flax models the exact diagonal is computed per layer from taps
+        (`diag_taps.py`) without materializing the (B, C, P) Jacobian — the
+        capability the reference gets from BackPACK/ASDL module extensions."""
+        if (
+            not self.stochastic
+            and self.curv_type in ("ggn", "ef")
+            and not self.last_layer
+            and self._can_use_taps()
+        ):
+            from laplace_jax.curvature.diag_taps import diag_curvature_taps
+
+            loss, d = diag_curvature_taps(
+                self.model, x, y, self.likelihood, self.lossfunc,
+                curv_type=self.curv_type,
+            )
+            if self.curv_type == "ef":  # EF scales H by factor; GGN does not
+                d = self.factor * d
+            return self.factor * loss, d
         if self.curv_type == "ef":
             Gs, loss = self.gradients(x, y)
             return self.factor * loss, self.factor * jnp.einsum("bp,bp->p", Gs, Gs)

@@ -1,0 +1,154 @@
+"""Exact diagonal curvature via layer taps — no full-Jacobian materialization.
+
+The Jacobian-based `diag` path materializes J of shape (B, C, P), which is
+infeasible for large P (a ResNet-18 batch-64 Jacobian is ~28 GB). The torch
+reference sidesteps this with per-module extensions in BackPACK/ASDL
+(`curvature/backpack.py:178-196`, `asdl.py:166-212`); this module is the
+functional TPU equivalent: from the same tap/offset vjp machinery as KFAC, the
+exact per-layer diagonal is
+
+- Dense (2-D input, no weight sharing):
+  ``diag_W[i,o] = Σ_{n,c} a_n[i]² g_{nc}[o]²`` (one einsum),
+  ``diag_b[o] = Σ_{n,c} g_{nc}[o]²``;
+- Conv / shared Dense (weight sharing over T positions):
+  ``diag_W[k,o] = Σ_{n,c} (Σ_t patch_{nt}[k] g_{ntc}[o])²`` — computed with a
+  `lax.map` over the batch so peak memory is per-layer C·K·O, never B·C·P.
+
+Exactness matches the GGN/EF diagonal definitions used elsewhere
+(`curvature/curvature.py:413-433`, `:495-505`); equality with the J-based path
+is enforced by the test suite.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from laplace_jax.curvature.kfac import (
+    _sqrt_hessian_cotangents,
+    _under,
+    conv_patches,
+)
+from laplace_jax.enums import Likelihood
+
+__all__ = ["diag_curvature_taps"]
+
+
+def diag_curvature_taps(
+    model,
+    x,
+    y,
+    likelihood,
+    lossfunc,
+    curv_type: str = "ggn",  # 'ggn' (exact) | 'ef'
+    last_layer_path: Optional[tuple] = None,
+):
+    """Exact diagonal GGN or empirical Fisher in canonical flat-vector order.
+
+    Returns (loss, diag) with diag shaped (n_params,). The factor convention
+    matches the J-based paths: GGN regression diag = Σ (J)² (Λ=I); EF uses the
+    gradients of the *sum* loss (the reference's 2× regression convention).
+    """
+    train_params = model.train_params
+    _, tap_shapes = jax.eval_shape(
+        lambda tp, xx: model.apply_with_taps(tp, xx), train_params, x
+    )
+    if last_layer_path is not None:
+        tap_shapes = [t for t in tap_shapes if t.path == last_layer_path]
+    if not tap_shapes:
+        raise ValueError("No Dense/Conv layers intercepted for diagonal curvature.")
+    xleaf = jax.tree_util.tree_leaves(x)[0]
+    varying_zero = (xleaf.ravel()[0] * 0).astype(jnp.float32)
+    offsets = {
+        t.path: jnp.zeros(t.outputs.shape, t.outputs.dtype)
+        + varying_zero.astype(t.outputs.dtype)
+        for t in tap_shapes
+    }
+
+    def f_of_offsets(offs):
+        f2, taps2 = model.apply_with_taps(train_params, x, offs)
+        if last_layer_path is not None:
+            taps2 = [t for t in taps2 if t.path == last_layer_path]
+        return f2, taps2
+
+    f, vjp_fn, taps = jax.vjp(f_of_offsets, offsets, has_aux=True)
+    dtype = f.dtype
+
+    if curv_type == "ggn":
+        if likelihood == Likelihood.REGRESSION:
+            # Λ = I convention of the J-based GGN paths (no sum-MSE factor 2)
+            C = f.shape[-1]
+            eye = jnp.eye(C, dtype=dtype)
+            cotangents = jnp.broadcast_to(
+                eye[:, None, :], (C, f.shape[0], C)
+            ).astype(dtype)
+        else:
+            cotangents = _sqrt_hessian_cotangents(f, likelihood, dtype)  # (C, B, C)
+        g_stack = jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents)
+    elif curv_type == "ef":
+        if likelihood == Likelihood.REGRESSION:
+            ct = 2.0 * (f - y)
+        else:
+            p = jax.nn.softmax(f, axis=-1)
+            ct = p - jax.nn.one_hot(y, f.shape[-1], dtype=dtype)
+        g_stack = {k: v[None] for k, v in vjp_fn(ct)[0].items()}  # (1, B, ..., O)
+    else:
+        raise ValueError(f"Unsupported curv_type {curv_type} for diag taps.")
+
+    # per-layer diagonals
+    kernel_diag, bias_diag = {}, {}
+    for t in taps:
+        g = g_stack[t.path]  # (C', B, *lead, O) with C'=C (ggn) or 1 (ef)
+        if t.kind == "dense" and t.inputs.ndim == 2:
+            a = t.inputs  # (B, I)
+            kernel_diag[t.path] = jnp.einsum("bi,cbo->io", a**2, g**2)
+            bias_diag[t.path] = jnp.einsum("cbo->o", g**2)
+        else:
+            if t.kind == "dense":  # weight sharing over leading dims
+                a2 = t.inputs.reshape(t.inputs.shape[0], -1, t.inputs.shape[-1])
+            elif t.patches is not None:
+                a2 = t.patches.reshape(t.patches.shape[0], -1, t.patches.shape[-1])
+            else:
+                a2 = conv_patches(t.inputs, t.conv_spec)
+            Cp = g.shape[0]
+            B = a2.shape[0]
+            g2 = g.reshape(Cp, B, -1, g.shape[-1])  # (C', B, T, O)
+
+            def per_sample(args):
+                a_b, g_b = args  # (T, K), (C', T, O)
+                M = jnp.einsum("tk,cto->cko", a_b, g_b)
+                return (M**2).sum(0), (g_b.sum(1) ** 2).sum(0)
+
+            dK, dB = jax.lax.map(
+                per_sample, (a2, jnp.swapaxes(g2, 0, 1)), batch_size=8
+            )
+            kernel_diag[t.path] = dK.sum(0)
+            bias_diag[t.path] = dB.sum(0)
+
+    # assemble in canonical leaf order
+    parts = []
+    for spec in model.leaf_specs:
+        path, role = spec.path, spec.path[-1]
+        if last_layer_path is not None and not _under(path, last_layer_path):
+            continue
+        matched = None
+        for t in taps:
+            if _under(path, t.path):
+                matched = t
+                break
+        if matched is None:
+            raise ValueError(
+                f"Trainable parameter {path} does not belong to an intercepted "
+                "Dense/Conv layer; use the Jacobian-based diag path."
+            )
+        if role == "kernel":
+            parts.append(kernel_diag[matched.path].ravel())
+        elif role == "bias":
+            parts.append(bias_diag[matched.path].ravel())
+        else:
+            raise ValueError(f"Unsupported parameter role {role}.")
+
+    loss = lossfunc(f, y)
+    return loss, jnp.concatenate(parts)

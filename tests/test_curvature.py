@@ -291,3 +291,45 @@ def test_kfac_nested_module_paths():
     assert sum(kron.group_sizes) == nnm.n_params
     _, dggn = backend.diag(X[:1], y[:1])
     np.testing.assert_allclose(np.asarray(kron.diag()), np.asarray(dggn), atol=1e-9)
+
+
+@pytest.mark.parametrize("likelihood", ["classification", "regression"])
+@pytest.mark.parametrize("curv", ["ggn", "ef"])
+def test_diag_taps_equals_jacobian_path(mlp_model, likelihood, curv):
+    """The tap-based streaming diagonal equals the J-based einsum exactly."""
+    from laplace_jax.curvature.diag_taps import diag_curvature_taps
+
+    if likelihood == "classification":
+        X, y = classification_data()
+    else:
+        X, y = regression_data()
+    backend = CurvatureBackend(mlp_model, likelihood, curv_type=curv)
+    # reference values via the explicit Jacobian/gradient paths
+    if curv == "ef":
+        Gs, loss_ref = backend.gradients(X, y)
+        d_ref = backend.factor * jnp.einsum("bp,bp->p", Gs, Gs)
+    else:
+        Js, f = jacobians_naive(mlp_model.apply, mlp_model.train_params, X)
+        if likelihood == "regression":
+            d_ref = jnp.einsum("bcp,bcp->p", Js, Js)
+        else:
+            p = jax.nn.softmax(f, -1)
+            lam = jax.vmap(jnp.diag)(p) - jnp.einsum("bc,bk->bck", p, p)
+            d_ref = jnp.einsum("bcp,bck,bkp->p", Js, lam, Js)
+    loss, d = backend.diag(X, y)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-10)
+
+
+def test_diag_taps_conv_matches_jacobian():
+    model = ToyConvNet()
+    X = jnp.asarray(np.random.default_rng(0).standard_normal((4, 6, 6, 3)))
+    y = jnp.asarray(np.random.default_rng(1).integers(0, 2, size=(4,)))
+    params = model.init(jax.random.key(0), X[:1])
+    nnm = NNModel.from_flax(model, params)
+    backend = CurvatureBackend(nnm, "classification")
+    Js, f = jacobians_naive(nnm.apply, nnm.train_params, X)
+    p = jax.nn.softmax(f, -1)
+    lam = jax.vmap(jnp.diag)(p) - jnp.einsum("bc,bk->bck", p, p)
+    d_ref = jnp.einsum("bcp,bck,bkp->p", Js, lam, Js)
+    _, d = backend.diag(X, y)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-9)
