@@ -90,16 +90,28 @@ class CurvatureBackend:
     def jacobians(self, x, theta: Optional[jnp.ndarray] = None):
         """Full per-sample Jacobians J (batch, outputs, n_params) and f (batch,
         outputs) (reference `curvature/curvature.py:88-129`). Differentiable in
-        `x` (for `enable_backprop` use cases) because it is a pure function."""
+        `x` (for `enable_backprop` use cases) because it is a pure function.
+
+        With `subnetwork_indices`, differentiation runs w.r.t. the subvector
+        directly so only a (B, C, P_subnet) array is ever materialized (the
+        reference slices the full Jacobian, `curvature.py:126-127`)."""
         theta = self.model.mean_vector if theta is None else theta
+
+        if self.subnetwork_indices is not None:
+            idx = self.subnetwork_indices
+
+            def f_sub(t_sub):
+                return self.model.apply_vec_curv(theta.at[idx].set(t_sub), x)
+
+            Js = jax.jacrev(f_sub)(theta[idx])  # (B, C, P_sub)
+            f = f_sub(theta[idx])
+            return Js, f
 
         def f_fn(t):
             return self.model.apply_vec_curv(t, x)
 
         Js = jax.jacrev(f_fn)(theta)  # (B, C, P)
         f = f_fn(theta)
-        if self.subnetwork_indices is not None:
-            Js = Js[:, :, self.subnetwork_indices]
         return Js, f
 
     def last_layer_jacobians(self, x, train_params=None):
