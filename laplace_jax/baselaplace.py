@@ -407,7 +407,7 @@ class BaseLaplace:
             prior_precs.append(prior_prec)
         return prior_precs[int(np.argmin(results))]
 
-    # --------------------------------------------------------------- absrtact
+    # --------------------------------------------------------------- abstract
     def _log_marglik(self, prior_precision, sigma_noise):
         raise NotImplementedError
 

@@ -129,16 +129,33 @@ class Kron:
         One `eigh` dispatch per factor; the compiled program is shared across
         equal-shaped factors via the jit cache (and persists across processes
         when a compilation cache dir is configured), so deep conv nets pay one
-        compile per unique factor shape."""
+        compile per unique factor shape. All decompositions are dispatched
+        asynchronously and NaN-checked with a single host sync at the end
+        (a per-factor check would serialize the device queue); only offending
+        factors get the jitter retry."""
+        raw = []  # (group_idx, factor_idx, l, Q, nan_flag)
+        for gi, F in enumerate(self.kfacs):
+            for fi, Hi in enumerate(F):
+                l, Q = jnp.linalg.eigh(Hi, symmetrize_input=True)
+                flag = jnp.isnan(l).any() | jnp.isnan(Q).any()
+                raw.append((gi, fi, l, Q, flag))
+
+        any_nan = bool(jnp.any(jnp.stack([r[4] for r in raw])))  # one sync
+        results = {}
+        for gi, fi, l, Q, flag in raw:
+            if any_nan and bool(flag):
+                l, Q = symeig(self.kfacs[gi][fi])  # jitter retry path
+            else:
+                l = jnp.nan_to_num(jnp.clip(l, min=0.0))
+                Q = jnp.nan_to_num(Q)
+            results[(gi, fi)] = (l, Q)
+
         eigvecs, eigvals = [], []
-        for F in self.kfacs:
-            Qs, ls = [], []
-            for Hi in F:
-                l, Q = symeig(Hi)
-                Qs.append(Q)
-                ls.append(l)
-            eigvecs.append(tuple(Qs))
-            eigvals.append(tuple(ls))
+        for gi, F in enumerate(self.kfacs):
+            Qs = tuple(results[(gi, fi)][1] for fi in range(len(F)))
+            ls = tuple(results[(gi, fi)][0] for fi in range(len(F)))
+            eigvecs.append(Qs)
+            eigvals.append(ls)
         return KronDecomposed(tuple(eigvecs), tuple(eigvals), damping=damping)
 
     # -- products ------------------------------------------------------------
