@@ -305,6 +305,12 @@ class CurvatureBackend:
         total points, the activation factor carries 1/N so factor groups add
         across batches; a single data point through a Dense layer is exact.
         """
+        if self.curv_type == "hessian":
+            raise ValueError(
+                "KFAC with the exact Hessian is undefined; use a GGN/EF/MC "
+                "backend (the reference's Hessian backend has no kron either, "
+                "`curvature/curvlinops.py:183-188`)."
+            )
         if self.curv_type == "ef":
             fisher_type = "empirical"
         elif self.stochastic:

@@ -23,6 +23,11 @@ def _batch_hvp_fn(backend):
     model = backend.model
     lossfunc = backend.lossfunc
 
+    if backend.curv_type == "ef":
+        raise ValueError(
+            "Low-rank eigendecomposition supports 'hessian' and 'ggn' "
+            "curvature, not 'ef'."
+        )
     if backend.curv_type == "hessian":
 
         @jax.jit

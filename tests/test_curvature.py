@@ -333,3 +333,17 @@ def test_diag_taps_conv_matches_jacobian():
     d_ref = jnp.einsum("bcp,bck,bkp->p", Js, lam, Js)
     _, d = backend.diag(X, y)
     np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-9)
+
+
+def test_invalid_structure_backend_combos(mlp_model):
+    """KFAC x exact-Hessian and low-rank x EF are undefined; clean errors."""
+    from laplace_jax.utils.data import ArrayLoader
+
+    X, y = classification_data()
+    be = CurvatureBackend(mlp_model, "classification", curv_type="hessian")
+    with pytest.raises(ValueError, match="KFAC with the exact Hessian"):
+        be.kron(X, y, N=10)
+    be_ef = CurvatureBackend(mlp_model, "classification", curv_type="ef")
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=5)
+    with pytest.raises(ValueError, match="not 'ef'"):
+        be_ef.eig_lowrank(loader, low_rank=3)
