@@ -426,6 +426,22 @@ class BaseLaplace:
         X, y = data
         return X, y
 
+    # ----------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        """Persist the fitted state to a pickle-free `.npz` archive — the
+        counterpart of `torch.save(la.state_dict(), ...)` in the reference's
+        docs (`docs/index.md:306-330`)."""
+        from laplace_jax.utils.serialization import save_state_dict
+
+        save_state_dict(self.state_dict(), path)
+
+    def load(self, path: str) -> "BaseLaplace":
+        """Load state saved by `save` into this (compatible) instance."""
+        from laplace_jax.utils.serialization import load_state_dict
+
+        self.load_state_dict(load_state_dict(path))
+        return self
+
 
 class ParametricLaplace(BaseLaplace):
     """Weight-space posterior skeleton (reference `baselaplace.py:837`)."""

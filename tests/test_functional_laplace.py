@@ -189,3 +189,17 @@ def test_gp_serialization(model):
         np.asarray(la2(X[:4], link_approx="probit")),
         atol=1e-10,
     )
+
+
+def test_gp_gridsearch(model):
+    X, y = classification_data(n=16)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=8)
+    la = FunctionalLaplace(model, "classification", n_subset=16)
+    la.fit(loader)
+    la.optimize_prior_precision(
+        method="gridsearch", val_loader=loader, grid_size=8,
+        log_prior_prec_min=-2, log_prior_prec_max=2,
+    )
+    assert float(la.prior_precision[0]) > 0
+    probs = la(X[:4], link_approx="probit")
+    assert np.isfinite(np.asarray(probs)).all()

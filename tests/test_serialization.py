@@ -77,3 +77,17 @@ def test_no_pickle_in_archive(model, loader, tmp_path):
     save_state_dict(la.state_dict(), path)
     with np.load(path, allow_pickle=False) as data:
         assert len(data.files) > 3  # loads without pickle
+
+
+def test_save_load_convenience(model, loader, tmp_path):
+    la = KronLaplace(model, "classification")
+    la.fit(loader)
+    path = str(tmp_path / "la.npz")
+    la.save(path)
+    la2 = KronLaplace(model, "classification").load(path)
+    X, _ = classification_data()
+    np.testing.assert_allclose(
+        np.asarray(la(X, link_approx="probit")),
+        np.asarray(la2(X, link_approx="probit")),
+        atol=1e-10,
+    )
