@@ -22,7 +22,7 @@ import sys
 import time
 
 N_DATA = 512
-BATCH = 64
+BATCH = 128
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 
