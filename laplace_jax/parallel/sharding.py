@@ -140,7 +140,7 @@ def shard_map_closure(
                 lambda t: jax.lax.psum(t, axis_name), (loss, H)
             )
 
-        from jax.experimental.shard_map import shard_map
+        shard_map = jax.shard_map
 
         x_specs = (
             {k: P(axis_name) for k in x} if isinstance(x, Mapping) else P(axis_name)
