@@ -63,6 +63,7 @@ class CurvatureBackend:
         last_layer_path: Optional[tuple] = None,
         feature_reduction=None,
         subnetwork_indices: Optional[jnp.ndarray] = None,
+        kron_unsupported: str = "skip",
     ):
         if likelihood not in (Likelihood.REGRESSION, Likelihood.CLASSIFICATION):
             raise ValueError("Backend likelihood must be regression or classification.")
@@ -77,6 +78,12 @@ class CurvatureBackend:
         self.last_layer_path = last_layer_path
         self.feature_reduction = feature_reduction
         self.subnetwork_indices = subnetwork_indices
+        if kron_unsupported not in ("skip", "block", "raise"):
+            raise ValueError(
+                f"kron_unsupported must be 'skip', 'block', or 'raise', got "
+                f"{kron_unsupported!r}."
+            )
+        self.kron_unsupported = kron_unsupported
 
         if likelihood == Likelihood.REGRESSION:
             self.lossfunc = mse_sum
@@ -249,10 +256,13 @@ class CurvatureBackend:
 
     def _can_use_taps(self) -> bool:
         """Layer-tap fast paths need a flax module, whole-model scope, and all
-        trainable leaves living under intercepted Dense/Conv layers."""
+        trainable leaves living under intercepted Dense/Conv/norm layers."""
         if self.model.module is None or self.subnetwork_indices is not None:
             return False
-        return all(s.path[-1] in ("kernel", "bias") for s in self.model.leaf_specs)
+        return all(
+            s.path[-1] in ("kernel", "bias", "scale")
+            for s in self.model.leaf_specs
+        )
 
     # ------------------------------------------------------------------ diag
     def diag(self, x, y, N: int = 1, key: Optional[jax.Array] = None):
@@ -328,6 +338,7 @@ class CurvatureBackend:
             num_samples=self.num_samples,
             key=key,
             last_layer_path=self.last_layer_path if self.last_layer else None,
+            unsupported=self.kron_unsupported,
         )
         kron = kron * self.factor
         return self.factor * loss, kron

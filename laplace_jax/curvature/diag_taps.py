@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from laplace_jax.curvature.kfac import (
+    _norm_xhat,
     _sqrt_hessian_cotangents,
     _under,
     conv_patches,
@@ -57,7 +58,7 @@ def diag_curvature_taps(
     )
     if last_layer_path is not None:
         tap_shapes = [t for t in tap_shapes if t.path == last_layer_path]
-    if not tap_shapes:
+    if not any(t.kind in ("dense", "conv") for t in tap_shapes):
         raise ValueError("No Dense/Conv layers intercepted for diagonal curvature.")
     xleaf = jax.tree_util.tree_leaves(x)[0]
     varying_zero = (xleaf.ravel()[0] * 0).astype(jnp.float32)
@@ -67,10 +68,11 @@ def diag_curvature_taps(
         for t in tap_shapes
     }
 
+    keep_paths = {t.path for t in tap_shapes}
+
     def f_of_offsets(offs):
         f2, taps2 = model.apply_with_taps(train_params, x, offs)
-        if last_layer_path is not None:
-            taps2 = [t for t in taps2 if t.path == last_layer_path]
+        taps2 = [t for t in taps2 if t.path in keep_paths]
         return f2, taps2
 
     f, vjp_fn, taps = jax.vjp(f_of_offsets, offsets, has_aux=True)
@@ -99,8 +101,21 @@ def diag_curvature_taps(
 
     # per-layer diagonals
     kernel_diag, bias_diag = {}, {}
+    norm_scale_diag, norm_bias_diag = {}, {}
     for t in taps:
         g = g_stack[t.path]  # (C', B, *lead, O) with C'=C (ggn) or 1 (ef)
+        if t.kind == "norm":
+            # exact per-sample norm-param grads from the output cotangents:
+            # g_bias = Σ_pos g, g_scale = Σ_pos g ∘ x̂; diag = Σ_{c,b} g²
+            xhat = _norm_xhat(t)
+            red = tuple(range(2, g.ndim - 1))
+            if t.bias is not None:
+                norm_bias_diag[t.path] = (g.sum(red) ** 2).sum((0, 1))
+            if t.scale is not None:
+                norm_scale_diag[t.path] = ((g * xhat[None]).sum(red) ** 2).sum(
+                    (0, 1)
+                )
+            continue
         if t.kind == "dense" and t.inputs.ndim == 2:
             a = t.inputs  # (B, I)
             kernel_diag[t.path] = jnp.einsum("bi,cbo->io", a**2, g**2)
@@ -141,9 +156,18 @@ def diag_curvature_taps(
         if matched is None:
             raise ValueError(
                 f"Trainable parameter {path} does not belong to an intercepted "
-                "Dense/Conv layer; use the Jacobian-based diag path."
+                "Dense/Conv/norm layer; use the Jacobian-based diag path."
             )
-        if role == "kernel":
+        if matched.kind == "norm":
+            if role == "scale" and matched.path in norm_scale_diag:
+                parts.append(norm_scale_diag[matched.path].ravel())
+            elif role == "bias" and matched.path in norm_bias_diag:
+                parts.append(norm_bias_diag[matched.path].ravel())
+            else:
+                raise ValueError(
+                    f"Unsupported norm parameter role {role} for diag taps."
+                )
+        elif role == "kernel":
             parts.append(kernel_diag[matched.path].ravel())
         elif role == "bias":
             parts.append(bias_diag[matched.path].ravel())

@@ -24,6 +24,7 @@ FisherType.MC), ``empirical`` (actual-label loss gradients, FisherType.EMPIRICAL
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -105,8 +106,21 @@ def kfac_factors(
     num_samples: int = 1,
     key: Optional[jax.Array] = None,
     last_layer_path: Optional[tuple] = None,
+    unsupported: str = "skip",
 ):
-    """Compute per-batch KFAC `Kron` factors and the (unscaled) batch loss."""
+    """Compute per-batch KFAC `Kron` factors and the (unscaled) batch loss.
+
+    `unsupported` controls parameters outside Dense/Conv layers (norm scales
+    and biases, or anything else):
+
+    - ``"skip"`` (default): zero curvature block with a warning — the posterior
+      for those weights falls back to the prior, matching the reference's
+      skip-with-warning behavior (`laplace/curvature/asdl.py:137-138`).
+    - ``"block"``: exact dense 1-factor Fisher blocks for norm-layer scale/bias
+      leaves, computed from the same single vjp sweep (no torch backend has
+      this); non-norm unsupported leaves still get zero blocks + warning.
+    - ``"raise"``: hard error (the strict pre-round-2 behavior).
+    """
     train_params = model.train_params
     # shape-only probe (no compute) to size the offsets
     _, tap_shapes = jax.eval_shape(
@@ -114,7 +128,11 @@ def kfac_factors(
     )
     if last_layer_path is not None:
         tap_shapes = [t for t in tap_shapes if t.path == last_layer_path]
-    if not tap_shapes:
+    want_norm_taps = unsupported == "block"
+    tap_shapes = [
+        t for t in tap_shapes if t.kind != "norm" or want_norm_taps
+    ]
+    if not any(t.kind in ("dense", "conv") for t in tap_shapes):
         raise ValueError("No Dense/Conv layers intercepted for KFAC.")
     # tie the zero offsets to x's device-varying-ness: under shard_map's
     # varying-manual-axes semantics, differentiating w.r.t. an UNVARYING value
@@ -130,23 +148,25 @@ def kfac_factors(
     }
 
     # ONE forward pass: primal outputs + taps (activations/patches) as vjp aux
+    keep_paths = {t.path for t in tap_shapes}
+
     def f_of_offsets(offs):
         f2, taps2 = model.apply_with_taps(train_params, x, offs)
-        if last_layer_path is not None:
-            taps2 = [t for t in taps2 if t.path == last_layer_path]
+        taps2 = [t for t in taps2 if t.path in keep_paths]
         return f2, taps2
 
     f, vjp_fn, taps = jax.vjp(f_of_offsets, offsets, has_aux=True)
     dtype = f.dtype
 
-    # ---- output-gradient factors B per layer ------------------------------
+    # ---- output-gradient cotangent sweeps -----------------------------------
+    # unified across fisher types: list of (weight, g_dict) where g_dict maps
+    # path -> cotangent-grads with a leading sweep axis
     if fisher_type == "exact":
         cotangents = _sqrt_hessian_cotangents(f, likelihood, dtype)  # (C, B, C)
-        g_stack = jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents)
-        B_facs = {p: _grad_cov(g) for p, g in g_stack.items()}
+        g_sweeps = [(1.0, jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents))]
     elif fisher_type == "mc":
         key = jax.random.key(0) if key is None else key
-        B_facs = None
+        g_sweeps = []
         for s in range(num_samples):
             k = jax.random.fold_in(key, s)
             if likelihood == Likelihood.REGRESSION:
@@ -156,12 +176,9 @@ def kfac_factors(
                 cls = jax.random.categorical(k, f, axis=-1)
                 ct = p - jax.nn.one_hot(cls, f.shape[-1], dtype=dtype)
             g = vjp_fn(ct)[0]
-            contrib = {p_: _grad_cov(gl) for p_, gl in g.items()}
-            if B_facs is None:
-                B_facs = contrib
-            else:
-                B_facs = {p_: B_facs[p_] + contrib[p_] for p_ in B_facs}
-        B_facs = {p_: v / num_samples for p_, v in B_facs.items()}
+            g_sweeps.append(
+                (1.0 / num_samples, {p_: gl[None] for p_, gl in g.items()})
+            )
     elif fisher_type == "empirical":
         if likelihood == Likelihood.REGRESSION:
             ct = 2.0 * (f - y)
@@ -169,13 +186,49 @@ def kfac_factors(
             p = jax.nn.softmax(f, axis=-1)
             ct = p - jax.nn.one_hot(y, f.shape[-1], dtype=dtype)
         g = vjp_fn(ct)[0]
-        B_facs = {p_: _grad_cov(gl) for p_, gl in g.items()}
+        g_sweeps = [(1.0, {p_: gl[None] for p_, gl in g.items()})]
     else:
         raise ValueError(f"Unknown fisher_type {fisher_type}.")
+
+    norm_paths = {t.path for t in taps if t.kind == "norm"}
+
+    # ---- B factors (Dense/Conv output-gradient covariances) -----------------
+    B_facs: dict = {}
+    for w, gd in g_sweeps:
+        for p_, gl in gd.items():
+            if p_ in norm_paths:
+                continue
+            contrib = w * _grad_cov(gl)
+            B_facs[p_] = contrib if p_ not in B_facs else B_facs[p_] + contrib
+
+    # ---- exact dense blocks for norm-layer scale/bias -----------------------
+    # per-sample grads: g_bias = Σ_pos g_out, g_scale = Σ_pos g_out ∘ x̂ — the
+    # block Σ_{sweep,b} g gᵀ is the exact diagonal Fisher block for that leaf
+    norm_blocks: dict = {}
+    for t in taps:
+        if t.kind != "norm":
+            continue
+        xhat = _norm_xhat(t)
+        Hb = Hs = None
+        for w, gd in g_sweeps:
+            gl = gd[t.path]  # (K, B, pos..., Cf)
+            red = tuple(range(2, gl.ndim - 1))
+            gb = gl.sum(red)
+            gs = (gl * xhat[None]).sum(red)
+            cb = w * jnp.einsum("kbc,kbd->cd", gb, gb)
+            cs = w * jnp.einsum("kbc,kbd->cd", gs, gs)
+            Hb = cb if Hb is None else Hb + cb
+            Hs = cs if Hs is None else Hs + cs
+        if t.bias is not None:
+            norm_blocks[(t.path, "bias")] = Hb
+        if t.scale is not None:
+            norm_blocks[(t.path, "scale")] = Hs
 
     # ---- activation factors A per layer ------------------------------------
     A_facs = {}
     for t in taps:
+        if t.kind == "norm":
+            continue
         if t.kind == "dense":
             a = t.inputs
             if a.ndim == 2:
@@ -196,6 +249,7 @@ def kfac_factors(
 
     # ---- assemble Kron groups in canonical leaf order -----------------------
     kfacs = []
+    skipped = []
     for spec in model.leaf_specs:
         path, role = spec.path, spec.path[-1]
         if last_layer_path is not None and not _under(path, last_layer_path):
@@ -205,21 +259,64 @@ def kfac_factors(
             if _under(path, t.path):
                 matched = t
                 break
-        if matched is None:
-            raise ValueError(
-                f"Trainable parameter {path} does not belong to an intercepted "
-                "Dense/Conv layer; KFAC is undefined for it. Freeze it via the "
-                "trainable mask or use a diag/full Hessian structure."
-            )
-        if role == "kernel":
-            kfacs.append((A_facs[matched.path], B_facs[matched.path]))
-        elif role == "bias":
-            kfacs.append((B_facs[matched.path],))
-        else:
-            raise ValueError(f"Unsupported parameter role {role} for KFAC.")
+        group = None
+        if matched is not None:
+            if matched.kind in ("dense", "conv"):
+                if role == "kernel":
+                    group = (A_facs[matched.path], B_facs[matched.path])
+                elif role == "bias":
+                    group = (B_facs[matched.path],)
+            elif matched.kind == "norm":
+                blk = norm_blocks.get((matched.path, role))
+                if blk is not None:
+                    group = (blk,)
+        if group is None:
+            if unsupported == "raise":
+                raise ValueError(
+                    f"Trainable parameter {path} does not belong to an "
+                    "intercepted Dense/Conv layer; KFAC is undefined for it. "
+                    "Freeze it via the trainable mask or use a diag/full "
+                    "Hessian structure."
+                )
+            skipped.append("/".join(path))
+            group = _zero_group(spec, dtype)
+        kfacs.append(group)
+
+    if skipped:
+        warnings.warn(
+            f"Parameters not supported by KFAC get zero curvature (posterior "
+            f"falls back to the prior): {skipped}. Pass "
+            "kron_unsupported='block' for exact dense blocks on norm layers, "
+            "or freeze them via the trainable mask."
+        )
 
     loss = lossfunc(f, y)
     return loss, Kron(kfacs)
+
+
+def _norm_xhat(tap) -> jnp.ndarray:
+    """Reconstruct the normalized pre-affine activation x̂ from a norm tap:
+    out = scale ∘ x̂ + bias ⇒ x̂ = (out − bias)/scale (zero scales guarded)."""
+    out = tap.outputs
+    if tap.bias is not None:
+        out = out - tap.bias
+    if tap.scale is not None:
+        out = out / jnp.where(tap.scale == 0, 1.0, tap.scale)
+    return out
+
+
+def _zero_group(spec, dtype):
+    """Zero Kron group matching `Kron.init_from_params` structure for a leaf."""
+    shape = spec.shape
+    if len(shape) <= 1:
+        P = max(int(spec.size), 1)
+        return (jnp.zeros((P, P), dtype=dtype),)
+    p_in = int(spec.size) // int(shape[-1])
+    p_out = int(shape[-1])
+    return (
+        jnp.zeros((p_in, p_in), dtype=dtype),
+        jnp.zeros((p_out, p_out), dtype=dtype),
+    )
 
 
 def _grad_cov(g: jnp.ndarray) -> jnp.ndarray:

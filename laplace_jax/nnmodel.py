@@ -37,8 +37,20 @@ try:
     import flax.linen as nn
 
     _HAS_FLAX = True
+    _NORM_MODULES = tuple(
+        m
+        for m in (
+            getattr(nn, "BatchNorm", None),
+            getattr(nn, "LayerNorm", None),
+            getattr(nn, "GroupNorm", None),
+            getattr(nn, "RMSNorm", None),
+            getattr(nn, "InstanceNorm", None),
+        )
+        if m is not None
+    )
 except Exception:  # pragma: no cover
     _HAS_FLAX = False
+    _NORM_MODULES = ()
 
 
 @jax.tree_util.register_pytree_node_class
@@ -50,16 +62,19 @@ class LayerTap:
     get activations and output-offsets from a single forward pass via
     `jax.vjp(..., has_aux=True)`."""
 
-    def __init__(self, path, inputs, outputs, kind, conv_spec=None, patches=None):
+    def __init__(self, path, inputs, outputs, kind, conv_spec=None, patches=None,
+                 scale=None, bias=None):
         self.path = path  # tuple[str, ...] module path
         self.inputs = inputs  # layer input activations
         self.outputs = outputs  # layer output (post-offset)
-        self.kind = kind  # "dense" | "conv"
+        self.kind = kind  # "dense" | "conv" | "norm"
         self.conv_spec = conv_spec  # dict for conv patch extraction
         self.patches = patches  # im2col patches when the matmul rewrite ran
+        self.scale = scale  # norm layers: scale parameter (None if use_scale=False)
+        self.bias = bias  # norm layers: bias parameter (None if use_bias=False)
 
     def tree_flatten(self):
-        children = (self.inputs, self.outputs, self.patches)
+        children = (self.inputs, self.outputs, self.patches, self.scale, self.bias)
         spec = self.conv_spec
         if isinstance(spec, dict):
             spec = tuple(sorted((k, _freeze(v)) for k, v in spec.items()))
@@ -71,8 +86,8 @@ class LayerTap:
         path, kind, spec = aux
         if isinstance(spec, tuple):
             spec = {k: v for k, v in spec}
-        inputs, outputs, patches = children
-        return cls(path, inputs, outputs, kind, spec, patches)
+        inputs, outputs, patches, scale, bias = children
+        return cls(path, inputs, outputs, kind, spec, patches, scale, bias)
 
 
 def _freeze(v):
@@ -121,6 +136,17 @@ class NNModel:
     def from_flax(cls, module, params, trainable_mask=None) -> "NNModel":
         def apply_fn(p, x):
             return module.apply(p, x)
+
+        # Non-'params' collections (batch_stats, ...) are state, not weights:
+        # freeze them so they stay out of the posterior — the analogue of the
+        # reference's requires_grad filter excluding buffers.
+        if (
+            trainable_mask is None
+            and isinstance(params, Mapping)
+            and "params" in params
+            and len(params) > 1
+        ):
+            trainable_mask = _collection_mask(params)
 
         return cls(apply_fn, params, trainable_mask, module=module)
 
@@ -188,10 +214,34 @@ class NNModel:
         def interceptor(next_fun, args, kwargs, context):
             module = context.module
             if context.method_name != "__call__" or not isinstance(
-                module, (nn.Dense, nn.Conv)
+                module, (nn.Dense, nn.Conv) + _NORM_MODULES
             ):
                 return next_fun(*args, **kwargs)
             path = tuple(module.path)
+            if isinstance(module, _NORM_MODULES):
+                # Norm layers: out = scale ∘ x̂ + bias. Tap the output (plus the
+                # additive offset, whose cotangent is the per-position output
+                # gradient) and the scale/bias values so curvature code can
+                # reconstruct x̂ = (out − bias)/scale for per-sample
+                # scale-gradients — the hook-free analogue of what the torch
+                # backends can't do at all (they skip norm layers).
+                out = next_fun(*args, **kwargs)
+                if offsets is not None and path in offsets:
+                    out = out + offsets[path]
+                scale = (
+                    module.get_variable("params", "scale")
+                    if module.has_variable("params", "scale")
+                    else None
+                )
+                bias = (
+                    module.get_variable("params", "bias")
+                    if module.has_variable("params", "bias")
+                    else None
+                )
+                taps.append(
+                    LayerTap(path, args[0], out, "norm", scale=scale, bias=bias)
+                )
+                return out
             if isinstance(module, nn.Dense):
                 out = next_fun(*args, **kwargs)
                 if offsets is not None and path in offsets:
@@ -337,6 +387,16 @@ class NNModel:
             else:
                 raise ValueError(f"Invalid feature_reduction {feature_reduction}.")
         return f, feats
+
+
+def _collection_mask(variables):
+    """Trainable mask marking only leaves under the 'params' collection."""
+    flat = jax.tree_util.tree_leaves_with_path(variables)
+    masks = [
+        _key_to_str(path[0]) == "params" if path else False for path, _ in flat
+    ]
+    treedef = jax.tree_util.tree_structure(variables)
+    return jax.tree_util.tree_unflatten(treedef, masks)
 
 
 def _probe_slice(x):
