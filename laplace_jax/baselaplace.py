@@ -357,7 +357,12 @@ class BaseLaplace:
                 updates, state = optimizer.update(g, state)
                 return optax.apply_updates(lp, updates), state
 
-            for _ in range(n_steps):
+            steps = range(n_steps)
+            if progress_bar:  # reference `baselaplace.py:470-474`
+                from tqdm.auto import tqdm
+
+                steps = tqdm(steps, desc="[marglik prior tuning]")
+            for _ in steps:
                 log_pp, opt_state = step(log_pp, opt_state)
             self.prior_precision = jnp.exp(log_pp)
         elif method == TuningMethod.GRIDSEARCH:
@@ -375,6 +380,7 @@ class BaseLaplace:
             self.prior_precision = self._gridsearch(
                 loss, interval, val_loader, pred_type=pred_type,
                 link_approx=link_approx, n_samples=n_samples,
+                progress_bar=progress_bar,
             )
         else:
             raise ValueError("For now only marglik and gridsearch is implemented.")
@@ -384,12 +390,16 @@ class BaseLaplace:
 
     def _gridsearch(
         self, loss, interval, val_loader, pred_type, link_approx=LinkApprox.PROBIT,
-        n_samples: int = 100,
+        n_samples: int = 100, progress_bar: bool = False,
     ):
         """Grid search over prior precision against validation loss
         (reference `baselaplace.py:516-561`); non-PD/NaN results score inf."""
         from laplace_jax.utils.validate import validate
 
+        if progress_bar:
+            from tqdm.auto import tqdm
+
+            interval = tqdm(interval, desc="[gridsearch]")
         results, prior_precs = [], []
         for prior_prec in interval:
             self.prior_precision = prior_prec
@@ -458,6 +468,7 @@ class ParametricLaplace(BaseLaplace):
             self._init_H()
             self.mean = self.prior_mean
         self._curv_closure_fn = None
+        self._scan_fit_fn = None
 
     def _init_H(self):
         raise NotImplementedError
@@ -486,7 +497,15 @@ class ParametricLaplace(BaseLaplace):
     def fit(self, train_loader, override: bool = True, progress_bar: bool = False,
             key: Optional[jax.Array] = None) -> None:
         """Accumulate batch curvature over the loader
-        (reference `baselaplace.py:904-987`)."""
+        (reference `baselaplace.py:904-987`).
+
+        When the loader's batches are uniform in-memory arrays, the whole
+        accumulation runs as ONE jitted `lax.scan` over device-resident data —
+        a single device dispatch for the entire fit, eliminating the per-batch
+        host round trip that dominates small-loader fits on remote TPUs. The
+        per-batch python loop remains for generic loaders, `progress_bar=True`,
+        and sharded (`parallel`) fits.
+        """
         if override:
             self._init_H()
             self.loss = 0.0
@@ -498,30 +517,76 @@ class ParametricLaplace(BaseLaplace):
 
         # probe one batch for the output dimension — eval_shape only, no compute
         data = next(iter(train_loader))
-        X_probe, _ = self._unpack_batch(data)
+        X_probe, y_probe = self._unpack_batch(data)
         out = jax.eval_shape(
             self.model.apply, self.model.train_params, _probe(X_probe)
         )
         self.n_outputs = out.shape[-1]
+        if self.likelihood == Likelihood.REGRESSION and jnp.ndim(y_probe) != out.ndim:
+            raise ValueError(
+                f"The model's output has {out.ndim} dims but the target has "
+                f"{jnp.ndim(y_probe)} dims."
+            )
 
         N = dataset_size(train_loader)
         closure = self._make_curv_closure()
         key = jax.random.key(0) if key is None else key
 
-        for i, data in enumerate(train_loader):
-            X, y = self._unpack_batch(data)
-            if self.likelihood == Likelihood.REGRESSION and jnp.ndim(y) != out.ndim:
-                raise ValueError(
-                    f"The model's output has {out.ndim} dims but the target has "
-                    f"{jnp.ndim(y)} dims."
+        stacked = None
+        if not progress_bar and self.parallel is None:
+            stacked = _stack_batches(train_loader, self._unpack_batch)
+
+        if stacked is not None:
+            xs, ys, rem = stacked
+            loss, H = self._scan_accumulate(xs, ys, N, key)
+            if rem is not None:
+                x_r, y_r = rem
+                loss_r, H_r = closure(
+                    _as_device(x_r), jnp.asarray(y_r), N,
+                    jax.random.fold_in(key, ys.shape[0]),
                 )
-            loss_b, H_b = closure(
-                _as_device(X), jnp.asarray(y), N, jax.random.fold_in(key, i)
-            )
-            self.loss = self.loss + loss_b
-            self.H = self.H + H_b
+                loss = loss + loss_r
+                H = jax.tree_util.tree_map(jnp.add, H, H_r)
+            self.loss = self.loss + loss
+            self.H = self.H + H
+        else:
+            iterator = train_loader
+            if progress_bar:
+                from tqdm.auto import tqdm
+
+                iterator = tqdm(train_loader, desc="[fit]")
+            for i, data in enumerate(iterator):
+                X, y = self._unpack_batch(data)
+                loss_b, H_b = closure(
+                    _as_device(X), jnp.asarray(y), N, jax.random.fold_in(key, i)
+                )
+                self.loss = self.loss + loss_b
+                self.H = self.H + H_b
 
         self.n_data += N
+
+    def _scan_accumulate(self, xs, ys, N, key):
+        """Whole-loader curvature accumulation as one jitted lax.scan."""
+        if getattr(self, "_scan_fit_fn", None) is None:
+
+            def scan_fit(xs, ys, N, key):
+                x0 = jax.tree_util.tree_map(lambda v: v[0], xs)
+                shapes = jax.eval_shape(self._curv_closure, x0, ys[0], N, key)
+                init = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+                nb = ys.shape[0]
+
+                def body(carry, inp):
+                    x, y, i = inp
+                    res = self._curv_closure(x, y, N, jax.random.fold_in(key, i))
+                    return jax.tree_util.tree_map(jnp.add, carry, res), None
+
+                acc, _ = jax.lax.scan(body, init, (xs, ys, jnp.arange(nb)))
+                return acc
+
+            self._scan_fit_fn = jax.jit(scan_fit)
+        return self._scan_fit_fn(xs, ys, jnp.asarray(N), key)
 
     # ------------------------------------------------------------ marglik bits
     @property
@@ -1093,6 +1158,51 @@ class LowRankLaplace(ParametricLaplace):
             + jnp.sum(jnp.log(d))
             - jnp.linalg.slogdet(Kinv)[1]
         )
+
+
+def _stack_batches(loader, unpack, max_bytes: int = 1 << 30):
+    """Stack a loader's batches into (nb, B, ...) arrays for the scan fit.
+
+    Returns `(xs, ys, remainder)` — remainder is a final smaller batch or
+    None — or None when the loader isn't stackable (non-uniform batches,
+    non-array data, or total size above `max_bytes`)."""
+    try:
+        batches = [unpack(data) for data in loader]
+    except Exception:
+        return None
+    if not batches:
+        return None
+
+    def lead(x):
+        if isinstance(x, Mapping):
+            x = next(iter(x.values()))
+        return int(np.shape(x)[0])
+
+    try:
+        b0 = lead(batches[0][0])
+        rem = None
+        if len(batches) > 1 and lead(batches[-1][0]) != b0:
+            rem = batches.pop()
+        if any(lead(X) != b0 for X, _ in batches):
+            return None
+        total = sum(
+            sum(np.asarray(leaf).nbytes for leaf in jax.tree_util.tree_leaves(X))
+            + np.asarray(y).nbytes
+            for X, y in batches
+        )
+        if total > max_bytes:
+            return None
+        if isinstance(batches[0][0], Mapping):
+            keys = list(batches[0][0].keys())
+            xs = {
+                k: np.stack([np.asarray(X[k]) for X, _ in batches]) for k in keys
+            }
+        else:
+            xs = np.stack([np.asarray(X) for X, _ in batches])
+        ys = np.stack([np.asarray(y) for _, y in batches])
+    except Exception:
+        return None
+    return xs, ys, rem
 
 
 def _as_device(x):

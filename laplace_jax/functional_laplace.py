@@ -10,10 +10,11 @@ R&W (2006) eq. 3.44 with a diagonal approximation of the likelihood Hessian.
 TPU-first difference from the reference: the reference recomputes Jacobians for
 every batch pair in a double loop during fit *and* for every train batch on
 every predictive call (`baselaplace.py:2524-2529`, `:2747-2753`). Here SoD
-Jacobians are computed once per batch with a jitted function and cached as a
-single `(M, C, P)` array, so K_MM assembly and every predictive reduce to one
-MXU einsum. (For very large P use last-layer FunctionalLaplace, as does the
-reference's GP calibration example.)
+Jacobians are by default computed once per batch with a jitted function and
+cached as a single `(M, C, P)` array, so K_MM assembly and every predictive
+reduce to one MXU einsum. Above a memory threshold (or with `streaming=True`)
+the fit falls back to the reference's batch-pair double loop with transient
+per-batch Jacobians, so all-weights GP on large-P nets runs in bounded memory.
 """
 
 from __future__ import annotations
@@ -40,6 +41,10 @@ from laplace_jax.utils.sod import sod_indices
 
 __all__ = ["FunctionalLaplace", "FunctionalLLLaplace"]
 
+# auto-streaming kicks in when the (M, C, P) SoD Jacobian cache would exceed
+# this many bytes (1 GiB — an 11M-param net at M=256, C=10 would need ~45 GiB)
+_STREAMING_THRESHOLD_BYTES = 1 << 30
+
 
 class FunctionalLaplace(BaseLaplace):
     """GP-equivalent of a GGN Laplace approximation (reference
@@ -57,7 +62,7 @@ class FunctionalLaplace(BaseLaplace):
                  enable_backprop: bool = False, dict_key_x="input_ids",
                  dict_key_y="labels", backend="ggn", backend_kwargs=None,
                  independent_outputs: bool = False, seed: int = 0, params=None,
-                 parallel=None):
+                 parallel=None, streaming: Optional[bool] = None):
         self._check_prior_precision(prior_precision)
         super().__init__(model, likelihood, sigma_noise, prior_precision,
                          prior_mean, temperature, enable_backprop, dict_key_x,
@@ -65,6 +70,12 @@ class FunctionalLaplace(BaseLaplace):
         self.n_subset = n_subset
         self.independent_outputs = independent_outputs
         self.seed = seed
+        # None = auto: stream when the (M, C, P) SoD Jacobian cache would
+        # exceed _STREAMING_THRESHOLD_BYTES (large-P nets); the streaming fit
+        # assembles K_MM batch-pair-wise with transient per-batch Jacobians,
+        # matching the reference's always-streaming behavior
+        # (`baselaplace.py:2420-2534`)
+        self.streaming = streaming
 
         self.K_MM = None
         self.Sigma_chol = None  # cholesky of K_MM + Λ^{-1}
@@ -128,12 +139,35 @@ class FunctionalLaplace(BaseLaplace):
         Js_list, f_list, lambdas, mus, xs = [], [], [], [], []
         theta = self.model.mean_vector
 
+        use_streaming = self.streaming
+        if use_streaming is None:
+            itemsize = jnp.dtype(self._dtype).itemsize
+            use_streaming = (
+                self.n_subset * self.n_outputs * self.n_params * itemsize
+                > _STREAMING_THRESHOLD_BYTES
+            )
+
+        batches = []
+        if progress_bar:  # reference `baselaplace.py:2466-2470`
+            from tqdm.auto import tqdm
+
+            sod_loader = tqdm(sod_loader, desc="[GP fit]")
         for data in sod_loader:
             X, y = self._unpack_batch(data)
             Xd, yd = _as_device(X), jnp.asarray(y)
-            Js_b, f_b = self._jacobians(Xd)
-            Js_b = jax.lax.stop_gradient(Js_b)
-            f_b = jax.lax.stop_gradient(f_b)
+            if use_streaming:
+                # transient per-batch Jacobian for μ and f — discarded after use
+                Js_b, f_b = None, None
+                f_b = jax.lax.stop_gradient(
+                    self.model.apply(self.model.train_params, Xd)
+                )
+                mus.append(self._mean_scatter_term_batch_streaming(Xd, f_b, yd))
+            else:
+                Js_b, f_b = self._jacobians(Xd)
+                Js_b = jax.lax.stop_gradient(Js_b)
+                f_b = jax.lax.stop_gradient(f_b)
+                Js_list.append(Js_b)
+                mus.append(self._mean_scatter_term_batch(Js_b, f_b, yd))
             if self.likelihood == Likelihood.REGRESSION and jnp.ndim(yd) != out.ndim:
                 raise ValueError(
                     f"The model's output has {out.ndim} dims but the target has "
@@ -152,29 +186,92 @@ class FunctionalLaplace(BaseLaplace):
                 lam = jax.vmap(jnp.diag)(p) - jnp.einsum("mk,mc->mck", p, p)
             lambdas.append(lam)
             f_list.append(f_b)
-            Js_list.append(Js_b)
-            mus.append(self._mean_scatter_term_batch(Js_b, f_b, yd))
             xs.append(Xd)
+            batches.append(Xd)
 
-        self.Js_M = jnp.concatenate(Js_list, axis=0)  # (M, C, P)
         self._sod_x = xs
         self.mu = jnp.concatenate(mus, axis=0)
         lam_all = jnp.concatenate(lambdas, axis=0)  # (M, C, C)
         L_diag = jnp.diagonal(lam_all, axis1=-2, axis2=-1)  # (M, C)
         self.L = L_diag  # stored as (M, C); flattened/per-class views derived
 
-        # K_MM via one MXU contraction on the cached Jacobians
-        M, C, P = self.Js_M.shape
-        if self.independent_outputs:
-            # (C, M, M)
-            self.K_MM = jnp.einsum("mcp,ncp->cmn", self.Js_M, self.Js_M)
+        if use_streaming:
+            # K_MM assembled batch-pair-wise: only two (m_b, C, P) Jacobians
+            # live at a time (reference `baselaplace.py:2420-2534`)
+            self.Js_M = None
+            self.K_MM = self._kernel_streaming(batches)
         else:
-            Jflat = self.Js_M.reshape(M * C, P)
-            self.K_MM = Jflat @ Jflat.T
+            self.Js_M = jnp.concatenate(Js_list, axis=0)  # (M, C, P)
+            # K_MM via one MXU contraction on the cached Jacobians
+            M, C, P = self.Js_M.shape
+            if self.independent_outputs:
+                # (C, M, M)
+                self.K_MM = jnp.einsum("mcp,ncp->cmn", self.Js_M, self.Js_M)
+            else:
+                Jflat = self.Js_M.reshape(M * C, P)
+                self.K_MM = Jflat @ Jflat.T
 
         self._build_Sigma_inv()
         self._fitted = True
         self._recompute_Sigma = False
+
+    def _mean_scatter_term_batch_streaming(self, Xd, f, y):
+        """`_mean_scatter_term_batch` without a Jacobian: the shift
+        `J (μ₀ − θ)` is one jvp."""
+        theta = self.model.mean_vector
+        v = jnp.broadcast_to(self.prior_mean, theta.shape) - theta
+        _, shift = jax.jvp(
+            lambda t: self.model.apply_vec_curv(t, Xd), (theta,), (v,)
+        )
+        shift = jax.lax.stop_gradient(shift)
+        if self.likelihood == Likelihood.REGRESSION:
+            return y - (f + shift)
+        return -shift
+
+    def _kernel_streaming(self, batches) -> jnp.ndarray:
+        """K_MM from a double loop over SoD batch pairs (j ≥ i) with transient
+        per-batch Jacobians (reference `baselaplace.py:2420-2534`)."""
+        C = self.n_outputs
+        sizes = []
+        row_blocks = []
+        for i, X_i in enumerate(batches):
+            Js_i, _ = self._jacobians(X_i)
+            Js_i = jax.lax.stop_gradient(Js_i)
+            sizes.append(Js_i.shape[0])
+            blocks = []
+            for j, X_j in enumerate(batches):
+                if j < i:
+                    blocks.append(None)  # filled by symmetry below
+                    continue
+                if j == i:
+                    Js_j = Js_i
+                else:
+                    Js_j, _ = self._jacobians(X_j)
+                    Js_j = jax.lax.stop_gradient(Js_j)
+                if self.independent_outputs:
+                    blocks.append(jnp.einsum("mcp,ncp->cmn", Js_i, Js_j))
+                else:
+                    blocks.append(
+                        jnp.einsum("mcp,nep->mcne", Js_i, Js_j).reshape(
+                            Js_i.shape[0] * C, Js_j.shape[0] * C
+                        )
+                    )
+            row_blocks.append(blocks)
+        # mirror the strictly-lower blocks from the computed upper triangle
+        nb = len(batches)
+        for i in range(nb):
+            for j in range(i):
+                if self.independent_outputs:
+                    row_blocks[i][j] = jnp.swapaxes(row_blocks[j][i], -1, -2)
+                else:
+                    row_blocks[i][j] = row_blocks[j][i].T
+        if self.independent_outputs:
+            return jnp.concatenate(
+                [jnp.concatenate(row, axis=-1) for row in row_blocks], axis=-2
+            )
+        return jnp.concatenate(
+            [jnp.concatenate(row, axis=-1) for row in row_blocks], axis=-2
+        )
 
     def _subset_loader(self, train_loader, idx):
         if hasattr(train_loader, "subset"):
@@ -281,12 +378,44 @@ class FunctionalLaplace(BaseLaplace):
             f_mu, f_var, n_samples, diagonal_output, key
         )
 
+    def _K_M_star(self, Js_star) -> jnp.ndarray:
+        """Cross-kernel J* J_Mᵀ: one einsum on the cached SoD Jacobians, or a
+        streamed loop with transient per-batch Jacobians when `Js_M` is not
+        cached (reference recomputes per train batch, `baselaplace.py:2747-2753`).
+        Layout: (b, M, C) for independent outputs, else (b, M·C, C)."""
+        b = Js_star.shape[0]
+        C = self.n_outputs
+        if self.Js_M is not None:
+            if self.independent_outputs:
+                return jnp.einsum("bcp,mcp->bmc", Js_star, self.Js_M)
+            M = self.Js_M.shape[0]
+            return jnp.einsum("mcp,bep->bmce", self.Js_M, Js_star).reshape(
+                b, M * C, C
+            )
+        if self._sod_x is None:
+            raise RuntimeError(
+                "Streaming FunctionalLaplace predictive needs the SoD inputs; "
+                "refit or load a state that includes them."
+            )
+        parts = []
+        for X_b in self._sod_x:
+            J_b, _ = self._jacobians(X_b)
+            J_b = jax.lax.stop_gradient(J_b)
+            if self.independent_outputs:
+                parts.append(jnp.einsum("bcp,mcp->bmc", Js_star, J_b))
+            else:
+                parts.append(jnp.einsum("mcp,bep->bmce", J_b, Js_star))
+        K = jnp.concatenate(parts, axis=1)
+        if self.independent_outputs:
+            return K
+        return K.reshape(b, K.shape[1] * C, C)
+
     def functional_variance(self, Js_star) -> jnp.ndarray:
         """`k** − K*M Σ⁻¹ K M*` (reference `baselaplace.py:2735-2772`)."""
         gp_var = self.gp_kernel_prior_variance
         if self.independent_outputs:
             K_star = gp_var * jnp.einsum("bcp,bcp->bc", Js_star, Js_star)
-            K_M_star = gp_var * jnp.einsum("bcp,mcp->bmc", Js_star, self.Js_M)
+            K_M_star = gp_var * self._K_M_star(Js_star)
             prods = []
             for c in range(self.n_outputs):
                 v = jax.scipy.linalg.solve_triangular(
@@ -296,11 +425,8 @@ class FunctionalLaplace(BaseLaplace):
             f_var = K_star - jnp.stack(prods, axis=-1)
             return jax.vmap(jnp.diag)(f_var)
         K_star = gp_var * jnp.einsum("bcp,bep->bce", Js_star, Js_star)
-        M, C, P = self.Js_M.shape
         # (b, MC, C)
-        K_M_star = gp_var * jnp.einsum(
-            "mcp,bep->bmce", self.Js_M, Js_star
-        ).reshape(Js_star.shape[0], M * C, C)
+        K_M_star = gp_var * self._K_M_star(Js_star)
         v = jax.vmap(
             lambda k: jax.scipy.linalg.solve_triangular(self.Sigma_chol, k, lower=True)
         )(K_M_star)  # (b, MC, C)
@@ -312,7 +438,7 @@ class FunctionalLaplace(BaseLaplace):
         b, C, P = Js_star.shape
         if self.independent_outputs:
             K_star = gp_var * jnp.einsum("acp,bcp->abc", Js_star, Js_star)
-            K_M_star = gp_var * jnp.einsum("bcp,mcp->bmc", Js_star, self.Js_M)
+            K_M_star = gp_var * self._K_M_star(Js_star)
             prods = []
             for c in range(self.n_outputs):
                 v = jax.scipy.linalg.solve_triangular(
@@ -323,10 +449,7 @@ class FunctionalLaplace(BaseLaplace):
             f_var = jax.vmap(jax.vmap(jnp.diag))(f_var)  # (b, b, C, C)
         else:
             K_star = gp_var * jnp.einsum("acp,bep->abce", Js_star, Js_star)
-            M = self.Js_M.shape[0]
-            K_M_star = gp_var * jnp.einsum(
-                "mcp,bep->bmce", self.Js_M, Js_star
-            ).reshape(b, M * C, C)
+            K_M_star = gp_var * self._K_M_star(Js_star)
             v = jax.vmap(
                 lambda k: jax.scipy.linalg.solve_triangular(
                     self.Sigma_chol, k, lower=True
@@ -479,6 +602,13 @@ class FunctionalLaplace(BaseLaplace):
             "K_MM": self.K_MM,
             "Sigma_chol": self.Sigma_chol,
             "Js_M": self.Js_M,
+            # streaming fits need the SoD inputs for predictive cross-kernels
+            "_sod_x": (
+                self._sod_x
+                if self._sod_x is not None
+                and all(isinstance(x, jnp.ndarray) for x in self._sod_x)
+                else None
+            ),
             "_prior_factor_sod": self._prior_factor_sod,
             "_fitted": self._fitted,
             "_recompute_Sigma": self._recompute_Sigma,
@@ -511,6 +641,7 @@ class FunctionalLaplace(BaseLaplace):
         self.K_MM = state_dict["K_MM"]
         self.Sigma_chol = state_dict["Sigma_chol"]
         self.Js_M = state_dict["Js_M"]
+        self._sod_x = state_dict.get("_sod_x", None)
         self._prior_factor_sod = state_dict["_prior_factor_sod"]
         self._fitted = state_dict["_fitted"]
         self._recompute_Sigma = state_dict["_recompute_Sigma"]

@@ -127,7 +127,12 @@ def marglik_training(
     best_precision = None
     best_sigma = None
 
-    for epoch in range(1, n_epochs + 1):
+    epochs = range(1, n_epochs + 1)
+    if progress_bar:  # reference `marglik_training.py:213-221`
+        from tqdm.auto import tqdm
+
+        epochs = tqdm(epochs, desc="[marglik training]")
+    for epoch in epochs:
         epoch_loss = 0.0
         epoch_count = 0
         for data in train_loader:

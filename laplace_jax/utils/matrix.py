@@ -25,9 +25,50 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from laplace_jax.utils.linalg import block_diag, kron, symeig
 
 __all__ = ["Kron", "KronDecomposed"]
+
+# Eigensolver override for Kron.decompose on TPU/GPU: "qdwh" (spectral
+# divide-and-conquer), "jacobi", or None for the platform default (QDWH on
+# TPU). Measured on v5e: QDWH beats Jacobi by 4-50x at KFAC factor sizes
+# (1152: 0.19s vs 2.5s; 2304: 0.69s vs 36s), so the default stands.
+# CPU always uses LAPACK via the platform default.
+EIGH_IMPLEMENTATION: str | None = None
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def _batched_eigh_jit(stack: jnp.ndarray, impl: str | None = None):
+    """Batched eigendecomposition of a (k, n, n) stack with the decompose
+    post-processing fused in: per-factor NaN flags on the raw output, then
+    eigenvalue clipping at 0 and nan_to_num (reference `matrix.py:123-150`
+    semantics)."""
+    if impl is None:
+        l, Q = jnp.linalg.eigh(stack, symmetrize_input=True)
+    else:
+        implementation = {
+            "jacobi": jax.lax.linalg.EighImplementation.JACOBI,
+            "qdwh": jax.lax.linalg.EighImplementation.QDWH,
+        }[impl]
+        Q, l = jax.lax.linalg.eigh(
+            stack, symmetrize_input=True, implementation=implementation
+        )
+    flags = jnp.isnan(l).any(axis=1) | jnp.isnan(Q).any(axis=(1, 2))
+    return jnp.nan_to_num(jnp.clip(l, min=0.0)), jnp.nan_to_num(Q), flags
+
+
+def _batched_eigh_clipped(stack: jnp.ndarray):
+    impl = (
+        EIGH_IMPLEMENTATION
+        if jax.default_backend() in ("tpu", "gpu")
+        else None
+    )
+    return _batched_eigh_jit(stack, impl=impl)
 
 
 def _group_sizes(kfacs) -> list[int]:
@@ -126,29 +167,33 @@ class Kron:
     def decompose(self, damping: bool = False) -> "KronDecomposed":
         """Eigendecompose each factor (reference `matrix.py:123-150`).
 
-        One `eigh` dispatch per factor; the compiled program is shared across
-        equal-shaped factors via the jit cache (and persists across processes
-        when a compilation cache dir is configured), so deep conv nets pay one
-        compile per unique factor shape. All decompositions are dispatched
-        asynchronously and NaN-checked with a single host sync at the end
-        (a per-factor check would serialize the device queue); only offending
-        factors get the jitter retry."""
-        raw = []  # (group_idx, factor_idx, l, Q, nan_flag)
+        Factors are grouped by shape and each shape class is decomposed by ONE
+        batched `eigh` dispatch — a deep conv net's epilogue is ~#unique-shapes
+        device calls instead of #factors (compiled programs persist across
+        processes via the compilation cache). Everything is dispatched
+        asynchronously and NaN-checked with a single host sync at the end;
+        only offending factors take the jitter-retry path (`symeig`)."""
+        by_shape: dict = {}
         for gi, F in enumerate(self.kfacs):
             for fi, Hi in enumerate(F):
-                l, Q = jnp.linalg.eigh(Hi, symmetrize_input=True)
-                flag = jnp.isnan(l).any() | jnp.isnan(Q).any()
-                raw.append((gi, fi, l, Q, flag))
+                by_shape.setdefault(
+                    (Hi.shape, jnp.dtype(Hi.dtype)), []
+                ).append((gi, fi, Hi))
 
-        any_nan = bool(jnp.any(jnp.stack([r[4] for r in raw])))  # one sync
         results = {}
-        for gi, fi, l, Q, flag in raw:
-            if any_nan and bool(flag):
-                l, Q = symeig(self.kfacs[gi][fi])  # jitter retry path
-            else:
-                l = jnp.nan_to_num(jnp.clip(l, min=0.0))
-                Q = jnp.nan_to_num(Q)
-            results[(gi, fi)] = (l, Q)
+        flag_parts, flag_keys = [], []
+        for items in by_shape.values():
+            stack = jnp.stack([Hi for _, _, Hi in items])
+            ls, Qs, flags = _batched_eigh_clipped(stack)
+            flag_parts.append(flags)
+            for j, (gi, fi, _) in enumerate(items):
+                results[(gi, fi)] = (ls[j], Qs[j])
+                flag_keys.append((gi, fi))
+
+        flags = np.asarray(jnp.concatenate(flag_parts))  # ONE host sync
+        for (gi, fi), bad in zip(flag_keys, flags):
+            if bad:
+                results[(gi, fi)] = symeig(self.kfacs[gi][fi])  # jitter retry
 
         eigvecs, eigvals = [], []
         for gi, F in enumerate(self.kfacs):
