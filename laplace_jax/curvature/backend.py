@@ -170,21 +170,79 @@ class CurvatureBackend:
         return self._jit_dispatch(arg, x)
 
     # -------------------------------------------------------------- gradients
-    def gradients(self, x, y):
-        """Per-sample loss gradients Gs (batch, n_params) and total loss
-        (reference `curvature/curvature.py:169-210`)."""
+    def _per_sample_grad_fn(self):
+        """Per-sample loss gradient closure and its primal point. With
+        `subnetwork_indices`, differentiation runs w.r.t. the subvector
+        directly so nothing (B, P)-sized is ever built for subnet curvature
+        (the reference slices full gradients, `curvature.py:204-207`)."""
         theta = self.model.mean_vector
+        idx = self.subnetwork_indices
+        if idx is not None:
+
+            def loss_single(t_sub, xi, yi):
+                f = self.model.apply_vec_curv(
+                    theta.at[idx].set(t_sub), _expand(xi)
+                )
+                return self.lossfunc(f, _expand(yi))
+
+            return loss_single, theta[idx]
 
         def loss_single(t, xi, yi):
             f = self.model.apply_vec_curv(t, _expand(xi))
             return self.lossfunc(f, _expand(yi))
 
-        grad_fn = jax.grad(loss_single)
-        Gs = jax.vmap(grad_fn, in_axes=(None, 0, 0))(theta, x, y)
+        return loss_single, theta
+
+    def gradients(self, x, y):
+        """Per-sample loss gradients Gs (batch, n_params[_subnet]) and total
+        loss (reference `curvature/curvature.py:169-210`)."""
+        loss_single, t0 = self._per_sample_grad_fn()
+        Gs = jax.vmap(jax.grad(loss_single), in_axes=(None, 0, 0))(t0, x, y)
+        theta = self.model.mean_vector
         loss = self.lossfunc(self.model.apply_vec_curv(theta, x), y)
-        if self.subnetwork_indices is not None:
-            Gs = Gs[:, self.subnetwork_indices]
         return Gs, loss
+
+    def _ef_accumulate(self, x, y, mode: str):
+        """Empirical-Fisher contraction streamed over sample chunks: a
+        `lax.scan` accumulates `Σ_chunk GᵀG` (full) or `Σ G²` (diag) so peak
+        memory is chunk·P (+ the P×P output for full) instead of B·P — the
+        BackPACK-class capability the reference lacks for full EF."""
+        loss_single, t0 = self._per_sample_grad_fn()
+        grad_fn = jax.grad(loss_single)
+        P = t0.shape[0]
+        B = _leading_dim(y)
+        chunk = min(B, EF_CHUNK_SIZE)
+        main = (B // chunk) * chunk
+        dtype = t0.dtype
+        init = (
+            jnp.zeros((P, P), dtype=dtype)
+            if mode == "full"
+            else jnp.zeros((P,), dtype=dtype)
+        )
+
+        def contract(acc, Gc):
+            if mode == "full":
+                return acc + Gc.T @ Gc
+            return acc + jnp.einsum("bp,bp->p", Gc, Gc)
+
+        def body(acc, inp):
+            xc, yc = inp
+            Gc = jax.vmap(grad_fn, in_axes=(None, 0, 0))(t0, xc, yc)
+            return contract(acc, Gc), None
+
+        H = init
+        if main > 0:
+            xm = _reshape_chunks(_take_slice(x, 0, main), main // chunk, chunk)
+            ym = _reshape_chunks(y[:main], main // chunk, chunk)
+            H, _ = jax.lax.scan(body, init, (xm, ym))
+        if main < B:
+            Gr = jax.vmap(grad_fn, in_axes=(None, 0, 0))(
+                t0, _take_slice(x, main, B), y[main:]
+            )
+            H = contract(H, Gr)
+        theta = self.model.mean_vector
+        loss = self.lossfunc(self.model.apply_vec_curv(theta, x), y)
+        return H, loss
 
     # ------------------------------------------------------- likelihood middles
     def _functional_hessian(self, f: jnp.ndarray):
@@ -217,8 +275,7 @@ class CurvatureBackend:
     def full(self, x, y, N: int = 1, key: Optional[jax.Array] = None):
         """Dense P×P curvature (reference `curvature.py:375-411`, `:467-493`)."""
         if self.curv_type == "ef":
-            Gs, loss = self.gradients(x, y)
-            H = jnp.einsum("bp,bq->pq", Gs, Gs)
+            H, loss = self._ef_accumulate(x, y, mode="full")
             return self.factor * loss, self.factor * H
         if self.curv_type == "hessian":
             theta = self.model.mean_vector
@@ -287,8 +344,8 @@ class CurvatureBackend:
                 d = self.factor * d
             return self.factor * loss, d
         if self.curv_type == "ef":
-            Gs, loss = self.gradients(x, y)
-            return self.factor * loss, self.factor * jnp.einsum("bp,bp->p", Gs, Gs)
+            d, loss = self._ef_accumulate(x, y, mode="diag")
+            return self.factor * loss, self.factor * d
         if self.curv_type == "hessian":
             loss, H = self.full(x, y, N)
             return loss, jnp.diagonal(H)
@@ -352,11 +409,34 @@ class CurvatureBackend:
         return lanczos_eig_curvature(self, loader, low_rank)
 
 
+EF_CHUNK_SIZE = 16  # samples per EF accumulation chunk (peak extra memory chunk·P)
+
+
 def _expand(v):
     """Add back the batch dim removed by vmap (tensor or dict batch)."""
     if isinstance(v, dict):
         return {k: a[None] for k, a in v.items()}
     return v[None]
+
+
+def _leading_dim(v) -> int:
+    if isinstance(v, dict):
+        v = next(iter(v.values()))
+    return v.shape[0]
+
+
+def _take_slice(v, start: int, stop: int):
+    if isinstance(v, dict):
+        return {k: a[start:stop] for k, a in v.items()}
+    return v[start:stop]
+
+
+def _reshape_chunks(v, nchunks: int, chunk: int):
+    if isinstance(v, dict):
+        return {
+            k: a.reshape(nchunks, chunk, *a.shape[1:]) for k, a in v.items()
+        }
+    return v.reshape(nchunks, chunk, *v.shape[1:])
 
 
 def _under(leaf_path, module_path) -> bool:
