@@ -879,6 +879,41 @@ class FullLaplace(ParametricLaplace):
         eps = jax.random.normal(key, (n_samples, self.n_params), dtype=self._dtype)
         return self.mean[None, :] + eps @ self.posterior_scale.T
 
+    def shard_posterior(self, mesh=None, axis_name: str = "model") -> "FullLaplace":
+        """Lay the dense curvature H out over a mesh `model` axis so posterior
+        logdet / inverse / predictive einsums run distributed — for P beyond a
+        single chip's HBM. XLA propagates the row sharding through the jitted
+        consumers and inserts the collectives; results equal the replicated
+        path (tested on a virtual mesh). No reference equivalent (the
+        reference is single-device, SURVEY.md §2.6)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self._check_H_init()
+        P = self.H.shape[0]
+        if mesh is None:
+            from laplace_jax.parallel import data_mesh
+
+            # XLA shardings must divide the dimension: use the largest device
+            # count that divides P
+            devs = jax.devices()
+            k = max(d for d in range(1, len(devs) + 1) if P % d == 0)
+            if k < len(devs):
+                warnings.warn(
+                    f"n_params={P} not divisible by {len(devs)} devices; "
+                    f"sharding the posterior over {k} device(s)."
+                )
+            mesh = data_mesh(devices=devs[:k], axis_name=axis_name)
+        elif P % mesh.shape[axis_name] != 0:
+            raise ValueError(
+                f"n_params={P} must be divisible by the mesh '{axis_name}' "
+                f"axis size {mesh.shape[axis_name]}."
+            )
+        self.H = jax.device_put(
+            self.H, NamedSharding(mesh, PartitionSpec(axis_name, None))
+        )
+        self._posterior_scale = None
+        return self
+
 
 class KronLaplace(ParametricLaplace):
     """KFAC posterior precision (reference `baselaplace.py:1706-1879`).

@@ -25,7 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["data_mesh", "DataParallel", "shard_closure", "shard_map_closure"]
+__all__ = [
+    "data_mesh",
+    "multihost_mesh",
+    "DataParallel",
+    "shard_closure",
+    "shard_map_closure",
+]
 
 
 def data_mesh(devices=None, axis_name: str = "data") -> Mesh:
@@ -34,9 +40,51 @@ def data_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def _batch_spec(mesh: Mesh, axis_name: str):
-    """NamedSharding that splits the leading (batch) axis."""
-    return NamedSharding(mesh, P(axis_name))
+def multihost_mesh(
+    dcn_axis: str = "replica",
+    ici_axis: str = "data",
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Multi-host 2-axis mesh: one slow (DCN, across hosts/slices) axis × one
+    fast (ICI, within a slice) axis.
+
+    Calls `jax.distributed.initialize()` when not yet initialized (explicit
+    coordinator arguments, or auto-detection on managed TPU pods), then lays
+    the mesh out so that same-host devices are contiguous on the ICI axis —
+    curvature `psum`s reduce over ICI first and cross DCN once. The reference
+    has no distribution at all (SURVEY.md §2.6); this is the TPU-native
+    equivalent of a multi-node data-parallel runtime.
+
+    Single-process fallback: with one process this returns a
+    (1, n_devices) mesh, so code written against (dcn, ici) axes runs
+    unchanged on one host.
+    """
+    if num_processes is not None and num_processes > 1 and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator_address is not None and jax.process_count() == 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+
+    n_hosts = jax.process_count()
+    devices = jax.devices()
+    per_host = len(devices) // n_hosts
+    grid = np.asarray(devices).reshape(n_hosts, per_host)
+    return Mesh(grid, (dcn_axis, ici_axis))
+
+
+def _axis_tuple(axis_name) -> tuple:
+    return tuple(axis_name) if isinstance(axis_name, (tuple, list)) else (axis_name,)
+
+
+def _batch_spec(mesh: Mesh, axis_name):
+    """NamedSharding that splits the leading (batch) axis — over one mesh axis
+    or jointly over several (DCN × ICI)."""
+    return NamedSharding(mesh, P(_axis_tuple(axis_name)))
 
 
 def _replicated(mesh: Mesh):
@@ -46,11 +94,13 @@ def _replicated(mesh: Mesh):
 def shard_closure(
     closure: Callable,
     mesh: Mesh,
-    axis_name: str = "data",
+    axis_name="data",
 ) -> Callable:
     """Jit a per-batch curvature closure `(x, y, N, key) -> (loss, H)` with the
     batch sharded over the mesh; outputs are replicated, so XLA emits the
-    cross-device reduction (psum) for every batch contraction."""
+    cross-device reduction (psum) for every batch contraction. `axis_name` may
+    be a tuple (e.g. ('replica', 'data') on a DCN × ICI mesh) — the batch then
+    shards jointly over both axes."""
     batch_sharding = _batch_spec(mesh, axis_name)
     repl = _replicated(mesh)
 
@@ -62,7 +112,7 @@ def shard_closure(
     def wrapped(x, y, N, key):
         return closure(x, y, N, key)
 
-    n_dev = mesh.shape[axis_name]
+    n_dev = int(np.prod([mesh.shape[a] for a in _axis_tuple(axis_name)]))
     cache: dict = {}
     plain = jax.jit(wrapped)
 
@@ -96,22 +146,27 @@ def shard_closure(
     return call
 
 
-def _pvary(tree, axis_name: str):
+def _pvary(tree, axis_name):
     """Mark arrays as device-varying over `axis_name` (new shard_map "varying
     manual axes" semantics). Without this, autodiff w.r.t. replicated values
     inside the shard auto-inserts a psum on their cotangents — which corrupts
     per-shard Jacobians/per-sample gradients."""
-    if hasattr(jax.lax, "pcast"):
-        return jax.tree_util.tree_map(
-            lambda a: jax.lax.pcast(a, axis_name, to="varying"), tree
-        )
-    return jax.tree_util.tree_map(lambda a: jax.lax.pvary(a, axis_name), tree)
+
+    def mark(a):
+        for ax in _axis_tuple(axis_name):
+            if hasattr(jax.lax, "pcast"):
+                a = jax.lax.pcast(a, ax, to="varying")
+            else:
+                a = jax.lax.pvary(a, ax)
+        return a
+
+    return jax.tree_util.tree_map(mark, tree)
 
 
 def shard_map_closure(
     closure: Callable,
     mesh: Mesh,
-    axis_name: str = "data",
+    axis_name="data",
     model=None,
 ) -> Callable:
     """Explicit-collective variant: shard_map over the batch axis + psum.
@@ -122,11 +177,14 @@ def shard_map_closure(
     differentiates against) is given, its parameters are marked device-varying
     inside the shard so jacrev/vjp stay shard-local."""
 
-    n_dev = mesh.shape[axis_name]
+    axes = _axis_tuple(axis_name)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
 
     def sharded(x, y, N, key):
         def per_shard(xs, ys, Ns, keys):
-            shard_key = jax.random.fold_in(keys, jax.lax.axis_index(axis_name))
+            shard_key = keys
+            for ax in axes:
+                shard_key = jax.random.fold_in(shard_key, jax.lax.axis_index(ax))
             if model is not None:
                 orig = model.train_params
                 model.train_params = _pvary(orig, axis_name)
@@ -137,18 +195,17 @@ def shard_map_closure(
             else:
                 loss, H = closure(xs, ys, Ns, shard_key)
             return jax.tree_util.tree_map(
-                lambda t: jax.lax.psum(t, axis_name), (loss, H)
+                lambda t: jax.lax.psum(t, axes), (loss, H)
             )
 
         shard_map = jax.shard_map
 
-        x_specs = (
-            {k: P(axis_name) for k in x} if isinstance(x, Mapping) else P(axis_name)
-        )
+        bspec = P(axes)
+        x_specs = {k: bspec for k in x} if isinstance(x, Mapping) else bspec
         fn = shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(x_specs, P(axis_name), P(), P()),
+            in_specs=(x_specs, bspec, P(), P()),
             out_specs=P(),
         )
         return fn(x, y, jnp.asarray(N), key)
@@ -175,11 +232,22 @@ def _leading_dim(x) -> int:
 
 class DataParallel:
     """Configuration object: attach to a Laplace instance (`la.parallel = dp`)
-    or pass `parallel=dp` to constructors via `Laplace(...)` kwargs."""
+    or pass `parallel=dp` to constructors via `Laplace(...)` kwargs.
 
-    def __init__(self, mesh: Optional[Mesh] = None, axis_name: str = "data",
+    `axis_name` may be a tuple for multi-axis batch sharding on a 2-D mesh,
+    e.g. `DataParallel(multihost_mesh(), axis_name=("replica", "data"))` for
+    DCN × ICI data parallelism across hosts."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, axis_name="data",
                  explicit: bool = False):
-        self.mesh = mesh if mesh is not None else data_mesh(axis_name=axis_name)
+        if mesh is None:
+            if isinstance(axis_name, (tuple, list)):
+                raise ValueError(
+                    "Multi-axis DataParallel needs an explicit mesh (e.g. "
+                    "multihost_mesh())."
+                )
+            mesh = data_mesh(axis_name=axis_name)
+        self.mesh = mesh
         self.axis_name = axis_name
         self.explicit = explicit
 
@@ -193,7 +261,9 @@ class DataParallel:
         predictives (Jacobians, GLM variance einsums) run data-parallel; batch
         sizes not divisible by the mesh are left as-is."""
         sharding = _batch_spec(self.mesh, self.axis_name)
-        n_dev = self.mesh.shape[self.axis_name]
+        n_dev = int(
+            np.prod([self.mesh.shape[a] for a in _axis_tuple(self.axis_name)])
+        )
 
         def put(v):
             if v.shape[0] % n_dev != 0:
