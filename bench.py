@@ -74,13 +74,41 @@ def main() -> None:
     nnm = NNModel.from_flax(model, params)
 
     # ---- headline: all-weights KFAC fit ------------------------------------
+    def sync(la_):
+        # a host readback of an eigenvalue vector is a TRUE sync: it waits for
+        # the full decompose epilogue (block_until_ready on a small leaf can
+        # return before queued eigh programs finish on the axon tunnel)
+        np.asarray(la_.H.eigenvalues[0][0])
+
     la = KronLaplace(nnm, "classification")
-    la.fit(loader)  # compile warm-up (jit caches the curvature closure)
-    jax.block_until_ready(la.H.deltas)
+    la.fit(loader)  # compile warm-up (jit caches the scan + eigh programs)
+    sync(la)
     t0 = time.perf_counter()
     la.fit(loader)
-    jax.block_until_ready(la.H.deltas)
+    sync(la)
     kfac_sec = time.perf_counter() - t0
+
+    # ---- phase breakdown: scan accumulation vs eigh epilogue ----------------
+    from laplace_jax.baselaplace import _stack_batches
+
+    xs, ys, _ = _stack_batches(loader, la._unpack_batch)
+    la._init_H()
+    t0 = time.perf_counter()
+    loss_acc, H_acc = la._scan_accumulate(xs, ys, N_DATA, jax.random.key(0))
+    np.asarray(loss_acc)
+    accumulate_sec = time.perf_counter() - t0
+    # achieved compute rate of the accumulation phase from XLA's own cost model
+    try:
+        cost = la._scan_fit_fn.lower(
+            xs, ys, jnp.asarray(N_DATA), jax.random.key(0)
+        ).compile().cost_analysis()
+        acc_tflops = float(cost.get("flops", 0.0)) / accumulate_sec / 1e12
+    except Exception:
+        acc_tflops = float("nan")
+    t0 = time.perf_counter()
+    H_dec = H_acc.decompose()
+    np.asarray(H_dec.eigenvalues[0][0])
+    decompose_sec = time.perf_counter() - t0
 
     # ---- marglik hyper-steps/sec on the fitted posterior -------------------
     import optax
@@ -126,6 +154,9 @@ def main() -> None:
         "torch_cpu_kfac_fit_sec": round(torch_sec, 2),
         "glm_predictive_samples_per_sec": round(glm_samples_per_sec, 1),
         "marglik_steps_per_sec": round(marglik_steps_per_sec, 1),
+        "accumulate_sec": round(accumulate_sec, 4),
+        "decompose_sec": round(decompose_sec, 4),
+        "accumulate_achieved_tflops": round(acc_tflops, 2),
         "n_data": N_DATA,
         "batch": BATCH,
         "device": str(jax.devices()[0]),

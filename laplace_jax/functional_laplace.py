@@ -155,6 +155,11 @@ class FunctionalLaplace(BaseLaplace):
         for data in sod_loader:
             X, y = self._unpack_batch(data)
             Xd, yd = _as_device(X), jnp.asarray(y)
+            if self.likelihood == Likelihood.REGRESSION and jnp.ndim(yd) != out.ndim:
+                raise ValueError(
+                    f"The model's output has {out.ndim} dims but the target has "
+                    f"{jnp.ndim(yd)} dims."
+                )
             if use_streaming:
                 # transient per-batch Jacobian for μ and f — discarded after use
                 Js_b, f_b = None, None
@@ -168,11 +173,6 @@ class FunctionalLaplace(BaseLaplace):
                 f_b = jax.lax.stop_gradient(f_b)
                 Js_list.append(Js_b)
                 mus.append(self._mean_scatter_term_batch(Js_b, f_b, yd))
-            if self.likelihood == Likelihood.REGRESSION and jnp.ndim(yd) != out.ndim:
-                raise ValueError(
-                    f"The model's output has {out.ndim} dims but the target has "
-                    f"{jnp.ndim(yd)} dims."
-                )
             loss_b = self.backend.factor * self.backend.lossfunc(f_b, yd)
             self.loss = self.loss + loss_b
 
@@ -687,6 +687,7 @@ class FunctionalLLLaplace(FunctionalLaplace):
 
     def _set_last_layer(self, path: tuple) -> None:
         self.last_layer_path = path
+        self._full_model.last_layer_param_paths(path)  # validates the path
         mask = self._full_model.split_last_layer(path)
         self.model = NNModel(
             self._full_model.apply_fn, self._full_model.params,

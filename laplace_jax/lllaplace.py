@@ -81,6 +81,10 @@ class LLLaplace(ParametricLaplace):
         """Restrict the model to the last layer's parameters and rebuild the
         backend for the φ⊗I fast path."""
         self.last_layer_path = path
+        # validates the path: raises "No parameters found under module path"
+        # for a wrong last_layer_name (reference errors similarly on a missing
+        # module attribute, `utils/feature_extractor.py:83-98`)
+        self._full_model.last_layer_param_paths(path)
         mask = self._full_model.split_last_layer(path)
         self.model = NNModel(
             self._full_model.apply_fn,
