@@ -1096,11 +1096,11 @@ class LowRankLaplace(ParametricLaplace):
                  prior_precision=1.0, prior_mean=0.0, temperature=1.0,
                  enable_backprop=False, dict_key_x="input_ids",
                  dict_key_y="labels", backend_kwargs=None, params=None,
-                 low_rank: int = 10):
+                 low_rank: int = 10, parallel=None):
         self.low_rank = low_rank
         super().__init__(model, likelihood, sigma_noise, prior_precision,
                          prior_mean, temperature, enable_backprop, dict_key_x,
-                         dict_key_y, backend, backend_kwargs, params)
+                         dict_key_y, backend, backend_kwargs, params, parallel)
 
     def _init_H(self):
         self.H = None
@@ -1137,7 +1137,7 @@ class LowRankLaplace(ParametricLaplace):
         self.n_outputs = out.shape[-1]
 
         eigenvectors, eigenvalues, loss = self.backend.eig_lowrank(
-            train_loader, low_rank=self.low_rank
+            train_loader, low_rank=self.low_rank, parallel=self.parallel
         )
         self.H = (eigenvectors, eigenvalues)
         self.loss = loss

@@ -401,12 +401,12 @@ class CurvatureBackend:
         return self.factor * loss, kron
 
     # ----------------------------------------------------------------- lowrank
-    def eig_lowrank(self, loader, low_rank: int = 10):
+    def eig_lowrank(self, loader, low_rank: int = 10, parallel=None):
         """Truncated eigendecomposition of the curvature via matrix-free Lanczos
         (replaces asdfghjkl's `eig_lowrank`, `curvature/asdfghjkl.py:212-236`)."""
         from laplace_jax.curvature.lanczos import lanczos_eig_curvature
 
-        return lanczos_eig_curvature(self, loader, low_rank)
+        return lanczos_eig_curvature(self, loader, low_rank, parallel=parallel)
 
 
 EF_CHUNK_SIZE = 16  # samples per EF accumulation chunk (peak extra memory chunk·P)

@@ -2,11 +2,18 @@
 
 Native replacement for the reference's asdfghjkl-only low-rank path
 (`laplace/curvature/asdfghjkl.py:212-236`): the top-K eigenpairs of the total
-curvature (true Hessian or GGN, depending on the backend's `curv_type`) are found
-by Lanczos with full re-orthogonalization. Each matrix-vector product is one pass
-over the loader with a jitted per-batch HVP/GGN-VP — O(K) passes total, never
-materializing the P×P matrix. This is the memory-right approach on TPU: the HVP
-is two jvp/vjp sweeps, all MXU work.
+curvature (true Hessian or GGN, depending on the backend's `curv_type`) are
+found by Lanczos with full re-orthogonalization, never materializing the P×P
+matrix.
+
+TPU-first design: when the loader's batches stack into device-resident arrays,
+the ENTIRE Lanczos iteration runs as one jitted `lax.fori_loop` — each
+matrix-vector product is a `lax.scan` of per-batch HVP/GGN-VPs (two jvp/vjp
+sweeps, all MXU work), the Krylov basis stays on device, and the only host
+work is the tiny (m, m) tridiagonal eigendecomposition at the end. With a
+`DataParallel` config the stacked data is laid out over the mesh's data axis
+and XLA turns the batch contractions into psums over ICI. The host-loop
+fallback remains for generic loaders.
 """
 
 from __future__ import annotations
@@ -19,7 +26,7 @@ from laplace_jax.enums import Likelihood
 
 
 def _batch_hvp_fn(backend):
-    """Jitted per-batch curvature-vector product for the backend's curv_type."""
+    """Per-batch curvature-vector product for the backend's curv_type."""
     model = backend.model
     lossfunc = backend.lossfunc
 
@@ -30,7 +37,6 @@ def _batch_hvp_fn(backend):
         )
     if backend.curv_type == "hessian":
 
-        @jax.jit
         def hvp(theta, v, x, y):
             def total_loss(t):
                 return lossfunc(model.apply_vec_curv(t, x), y)
@@ -39,7 +45,6 @@ def _batch_hvp_fn(backend):
 
     else:  # ggn: J^T Λ J v via jvp through f then vjp back
 
-        @jax.jit
         def hvp(theta, v, x, y):
             def f_fn(t):
                 return model.apply_vec_curv(t, x)
@@ -56,53 +61,146 @@ def _batch_hvp_fn(backend):
     return hvp
 
 
-def lanczos_eig_curvature(backend, loader, low_rank: int = 10):
+def _lanczos_device(hvp_batch, theta, xs, ys, rem, v0, m: int):
+    """One jitted program: m Lanczos iterations with full reorthogonalization,
+    each matvec a lax.scan over the stacked batches (+ optional remainder)."""
+
+    def matvec(v):
+        def body(acc, inp):
+            x, y = inp
+            return acc + hvp_batch(theta, v, x, y), None
+
+        out = jnp.zeros_like(v)
+        if ys is not None:
+            out, _ = jax.lax.scan(body, out, (xs, ys))
+        if rem is not None:
+            out = out + hvp_batch(theta, v, rem[0], rem[1])
+        return out
+
+    P = v0.shape[0]
+    dtype = v0.dtype
+
+    def iteration(j, state):
+        V, alphas, betas, v, v_prev, beta = state
+        w = matvec(v) - beta * v_prev
+        alpha = jnp.dot(w, v)
+        w = w - alpha * v
+        V = V.at[:, j].set(v)
+        # full reorthogonalization; columns > j are zero so the constant-shape
+        # product is exact
+        w = w - V @ (V.T @ w)
+        beta_new = jnp.linalg.norm(w)
+        v_new = w / jnp.maximum(beta_new, jnp.asarray(1e-30, dtype))
+        return (
+            V,
+            alphas.at[j].set(alpha),
+            betas.at[j].set(beta_new),
+            v_new,
+            v,
+            beta_new,
+        )
+
+    state = (
+        jnp.zeros((P, m), dtype=dtype),
+        jnp.zeros((m,), dtype=dtype),
+        jnp.zeros((m,), dtype=dtype),
+        v0,
+        jnp.zeros_like(v0),
+        jnp.asarray(0.0, dtype),
+    )
+    V, alphas, betas, _, _, _ = jax.lax.fori_loop(0, m, iteration, state)
+    return V, alphas, betas
+
+
+def lanczos_eig_curvature(backend, loader, low_rank: int = 10, parallel=None):
     """Top-`low_rank` eigenpairs of Σ_batches curvature, plus the total loss.
 
     Returns (eigenvectors (P, K), eigenvalues (K,), loss) with eigenvalues
     > 1e-6 kept, mirroring the asdfghjkl contract the reference's
     `LowRankLaplace.fit` consumes (`laplace/baselaplace.py:1950-1987`).
     """
+    from laplace_jax.baselaplace import _stack_batches
+
     model = backend.model
     theta = model.mean_vector
     P = theta.shape[0]
-    batches = [(x, y) for x, y in loader]
     hvp_batch = _batch_hvp_fn(backend)
-
-    def matvec(v: jnp.ndarray) -> jnp.ndarray:
-        out = jnp.zeros_like(v)
-        for x, y in batches:
-            out = out + hvp_batch(theta, v, jnp.asarray(x), jnp.asarray(y))
-        return out
-
     m = int(min(max(4 * low_rank + 16, low_rank + 2), P))
-    key = jax.random.key(0)
-    v = jax.random.normal(key, (P,), dtype=theta.dtype)
-    v = v / jnp.linalg.norm(v)
 
-    V = np.zeros((P, m), dtype=np.asarray(theta).dtype)
-    alphas = np.zeros(m)
-    betas = np.zeros(m)
-    v_prev = jnp.zeros_like(v)
-    beta = 0.0
-    actual_m = m
-    for j in range(m):
-        w = matvec(v) - beta * v_prev
-        alpha = float(jnp.dot(w, v))
-        w = w - alpha * v
-        # full re-orthogonalization against previous Lanczos vectors
-        Vj = jnp.asarray(V[:, : j + 1])
-        Vj = Vj.at[:, j].set(v)
-        w = w - Vj @ (Vj.T @ w)
-        beta = float(jnp.linalg.norm(w))
-        V[:, j] = np.asarray(v)
-        alphas[j] = alpha
-        betas[j] = beta
-        if beta < 1e-12:
-            actual_m = j + 1
-            break
-        v_prev = v
-        v = w / beta
+    key = jax.random.key(0)
+    v0 = jax.random.normal(key, (P,), dtype=theta.dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    stacked = _stack_batches(loader, lambda data: data)
+    if stacked is not None:
+        xs, ys, rem = stacked
+        if parallel is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            from laplace_jax.parallel.sharding import _axis_tuple
+
+            axes = _axis_tuple(parallel.axis_name)
+            n_dev = int(np.prod([parallel.mesh.shape[a] for a in axes]))
+            bsz = ys.shape[1]
+            if bsz % n_dev == 0:
+                sharding = NamedSharding(parallel.mesh, PS(None, axes))
+                xs = jax.device_put(xs, sharding)
+                ys = jax.device_put(ys, sharding)
+        run = jax.jit(
+            lambda th, v: _lanczos_device(
+                hvp_batch,
+                th,
+                jnp.asarray(xs) if not isinstance(xs, jax.Array) else xs,
+                jnp.asarray(ys) if not isinstance(ys, jax.Array) else ys,
+                None
+                if rem is None
+                else (jnp.asarray(rem[0]), jnp.asarray(rem[1])),
+                v,
+                m,
+            )
+        )
+        V_dev, alphas_dev, betas_dev = run(theta, v0)
+        V = np.asarray(V_dev)
+        alphas = np.asarray(alphas_dev)
+        betas = np.asarray(betas_dev)
+        # truncate at breakdown (invariant subspace found)
+        small = np.nonzero(betas < 1e-12)[0]
+        actual_m = int(small[0]) + 1 if small.size else m
+        batches = None
+    else:
+        # generic loader fallback: host loop, jitted per-batch HVP
+        batches = [(jnp.asarray(x), jnp.asarray(y)) for x, y in loader]
+        hvp_jit = jax.jit(hvp_batch)
+
+        def matvec(v):
+            out = jnp.zeros_like(v)
+            for x, y in batches:
+                out = out + hvp_jit(theta, v, x, y)
+            return out
+
+        V = np.zeros((P, m), dtype=np.asarray(theta).dtype)
+        alphas = np.zeros(m)
+        betas = np.zeros(m)
+        v = v0
+        v_prev = jnp.zeros_like(v0)
+        beta = 0.0
+        actual_m = m
+        for j in range(m):
+            w = matvec(v) - beta * v_prev
+            alpha = float(jnp.dot(w, v))
+            w = w - alpha * v
+            Vj = jnp.asarray(V[:, : j + 1])
+            Vj = Vj.at[:, j].set(v)
+            w = w - Vj @ (Vj.T @ w)
+            beta = float(jnp.linalg.norm(w))
+            V[:, j] = np.asarray(v)
+            alphas[j] = alpha
+            betas[j] = beta
+            if beta < 1e-12:
+                actual_m = j + 1
+                break
+            v_prev = v
+            v = w / beta
 
     T = np.diag(alphas[:actual_m]) + np.diag(betas[: actual_m - 1], 1) + np.diag(
         betas[: actual_m - 1], -1
@@ -116,10 +214,17 @@ def lanczos_eig_curvature(backend, loader, low_rank: int = 10):
     eigvals = jnp.asarray(evals[mask])
 
     # total loss over the dataset at the MAP
+    loss_fn = jax.jit(
+        lambda t, x, y: backend.lossfunc(model.apply_vec_curv(t, x), y)
+    )
     loss = 0.0
-    loss_fn = jax.jit(lambda t, x, y: backend.lossfunc(model.apply_vec_curv(t, x), y))
-    for x, y in batches:
-        loss += float(loss_fn(theta, jnp.asarray(x), jnp.asarray(y)))
+    iter_batches = (
+        batches
+        if batches is not None
+        else [(jnp.asarray(x), jnp.asarray(y)) for x, y in loader]
+    )
+    for x, y in iter_batches:
+        loss += float(loss_fn(theta, x, y))
     loss = backend.factor * loss
 
     return eigvecs, eigvals, jnp.asarray(loss)

@@ -85,3 +85,27 @@ def test_full_shard_posterior_equals_replicated():
     assert np.allclose(probs_1, probs_s, atol=1e-10)
     # H really is laid out over devices
     assert len(la.H.sharding.device_set) == len(jax.devices())
+
+
+def test_lowrank_lanczos_sharded_equals_single():
+    """Device-resident Lanczos with a sharded batch axis must equal the
+    single-device result (Weak #6 in the round-1 review: Lanczos previously
+    looped the loader serially per matvec)."""
+    from laplace_jax import LowRankLaplace
+
+    nnm, loader, X = _setup(n=16)
+    la_1 = LowRankLaplace(nnm, "classification", backend="ggn", low_rank=5)
+    la_1.fit(loader)
+    dp = DataParallel(_mesh_2d(), axis_name=("replica", "data"))
+    la_p = LowRankLaplace(nnm, "classification", backend="ggn", low_rank=5,
+                          parallel=dp)
+    la_p.fit(loader)
+    (U1, l1), _ = la_1.posterior_precision
+    (Up, lp), _ = la_p.posterior_precision
+    assert np.allclose(np.asarray(l1), np.asarray(lp), atol=1e-8)
+    # eigenvectors up to sign
+    assert np.allclose(np.abs(np.asarray(U1)), np.abs(np.asarray(Up)), atol=1e-6)
+    xt = jnp.asarray(X[:5])
+    p1 = np.asarray(la_1(xt, link_approx="probit"))
+    pp = np.asarray(la_p(xt, link_approx="probit"))
+    assert np.allclose(p1, pp, atol=1e-8)
