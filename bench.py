@@ -88,28 +88,6 @@ def main() -> None:
     sync(la)
     kfac_sec = time.perf_counter() - t0
 
-    # ---- phase breakdown: scan accumulation vs eigh epilogue ----------------
-    from laplace_jax.baselaplace import _stack_batches
-
-    xs, ys, _ = _stack_batches(loader, la._unpack_batch)
-    la._init_H()
-    t0 = time.perf_counter()
-    loss_acc, H_acc = la._scan_accumulate(xs, ys, N_DATA, jax.random.key(0))
-    np.asarray(loss_acc)
-    accumulate_sec = time.perf_counter() - t0
-    # achieved compute rate of the accumulation phase from XLA's own cost model
-    try:
-        cost = la._scan_fit_fn.lower(
-            xs, ys, jnp.asarray(N_DATA), jax.random.key(0)
-        ).compile().cost_analysis()
-        acc_tflops = float(cost.get("flops", 0.0)) / accumulate_sec / 1e12
-    except Exception:
-        acc_tflops = float("nan")
-    t0 = time.perf_counter()
-    H_dec = H_acc.decompose()
-    np.asarray(H_dec.eigenvalues[0][0])
-    decompose_sec = time.perf_counter() - t0
-
     # ---- marglik hyper-steps/sec on the fitted posterior -------------------
     import optax
 
@@ -145,6 +123,31 @@ def main() -> None:
         s = la_ll.predictive_samples(Xj, pred_type="glm", n_samples=n_samples)
     jax.block_until_ready(s)
     glm_samples_per_sec = reps * BATCH * n_samples / (time.perf_counter() - t0)
+
+    # ---- phase breakdown: scan accumulation vs eigh epilogue ----------------
+    # (run LAST: the cost-analysis AOT compile must not disturb the headline)
+    from laplace_jax.baselaplace import _stack_batches
+
+    xs, ys, _ = _stack_batches(loader, la._unpack_batch)
+    try:
+        cost = la._scan_fit_fn.lower(
+            xs, ys, jnp.asarray(N_DATA), jax.random.key(0)
+        ).compile().cost_analysis()
+        acc_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        acc_flops = float("nan")
+    la._init_H()
+    t0 = time.perf_counter()
+    loss_acc, H_acc = la._scan_accumulate(xs, ys, N_DATA, jax.random.key(0))
+    # loss and H come out of ONE scan program: reading the scalar loss back
+    # waits for the whole program, without shipping ~200MB of factors
+    np.asarray(loss_acc)
+    accumulate_sec = time.perf_counter() - t0
+    acc_tflops = acc_flops / accumulate_sec / 1e12
+    t0 = time.perf_counter()
+    H_dec = H_acc.decompose()
+    np.asarray(H_dec.eigenvalues[0][0])
+    decompose_sec = time.perf_counter() - t0
 
     result = {
         "metric": "kfac_fit_sec_resnet18_cifar",
