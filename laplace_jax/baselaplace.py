@@ -510,6 +510,7 @@ class ParametricLaplace(BaseLaplace):
             self._init_H()
             self.loss = 0.0
             self.n_data = 0
+            self._H_zero = True
 
         self.mean = self.model.mean_vector
         if not self.enable_backprop:
@@ -548,7 +549,13 @@ class ParametricLaplace(BaseLaplace):
                 loss = loss + loss_r
                 H = jax.tree_util.tree_map(jnp.add, H, H_r)
             self.loss = self.loss + loss
-            self.H = self.H + H
+            # fresh zero H: assign instead of dispatching one add per factor
+            # (each dispatch pays the remote-TPU round trip)
+            if getattr(self, "_H_zero", False):
+                self.H = H
+            else:
+                self.H = self.H + H
+            self._H_zero = False
         else:
             iterator = train_loader
             if progress_bar:
@@ -562,6 +569,7 @@ class ParametricLaplace(BaseLaplace):
                 )
                 self.loss = self.loss + loss_b
                 self.H = self.H + H_b
+            self._H_zero = False
 
         self.n_data += N
 
@@ -966,6 +974,7 @@ class KronLaplace(ParametricLaplace):
             n_data_old = self.n_data
             n_data_new = dataset_size(train_loader)
             self._init_H()  # re-init H non-decomposed
+            self._H_zero = True
             self.H_facs = self._rescale_factors(
                 self.H_facs, n_data_old / (n_data_old + n_data_new)
             )
