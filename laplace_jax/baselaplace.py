@@ -1209,9 +1209,20 @@ def _stack_batches(loader, unpack, max_bytes: int = 1 << 30):
 
     Returns `(xs, ys, remainder)` — remainder is a final smaller batch or
     None — or None when the loader isn't stackable (non-uniform batches,
-    non-array data, or total size above `max_bytes`)."""
+    non-array data, or total size above `max_bytes` — checked while
+    iterating, so an out-of-core loader is never fully materialized)."""
+    batches = []
+    total = 0
     try:
-        batches = [unpack(data) for data in loader]
+        for data in loader:
+            X, y = unpack(data)
+            total += sum(
+                np.asarray(leaf).nbytes
+                for leaf in jax.tree_util.tree_leaves(X)
+            ) + np.asarray(y).nbytes
+            if total > max_bytes:
+                return None
+            batches.append((X, y))
     except Exception:
         return None
     if not batches:
@@ -1228,13 +1239,6 @@ def _stack_batches(loader, unpack, max_bytes: int = 1 << 30):
         if len(batches) > 1 and lead(batches[-1][0]) != b0:
             rem = batches.pop()
         if any(lead(X) != b0 for X, _ in batches):
-            return None
-        total = sum(
-            sum(np.asarray(leaf).nbytes for leaf in jax.tree_util.tree_leaves(X))
-            + np.asarray(y).nbytes
-            for X, y in batches
-        )
-        if total > max_bytes:
             return None
         if isinstance(batches[0][0], Mapping):
             keys = list(batches[0][0].keys())

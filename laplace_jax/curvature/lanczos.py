@@ -132,8 +132,10 @@ def lanczos_eig_curvature(backend, loader, low_rank: int = 10, parallel=None):
     v0 = v0 / jnp.linalg.norm(v0)
 
     stacked = _stack_batches(loader, lambda data: data)
+    loss = None
     if stacked is not None:
         xs, ys, rem = stacked
+        rem = None if rem is None else (jnp.asarray(rem[0]), jnp.asarray(rem[1]))
         if parallel is not None:
             from jax.sharding import NamedSharding, PartitionSpec as PS
 
@@ -146,27 +148,36 @@ def lanczos_eig_curvature(backend, loader, low_rank: int = 10, parallel=None):
                 sharding = NamedSharding(parallel.mesh, PS(None, axes))
                 xs = jax.device_put(xs, sharding)
                 ys = jax.device_put(ys, sharding)
-        run = jax.jit(
-            lambda th, v: _lanczos_device(
-                hvp_batch,
-                th,
-                jnp.asarray(xs) if not isinstance(xs, jax.Array) else xs,
-                jnp.asarray(ys) if not isinstance(ys, jax.Array) else ys,
-                None
-                if rem is None
-                else (jnp.asarray(rem[0]), jnp.asarray(rem[1])),
-                v,
-                m,
-            )
-        )
-        V_dev, alphas_dev, betas_dev = run(theta, v0)
+
+        # arrays are jit ARGUMENTS (not closure constants baked into the
+        # program); rem enters via a second arg pytree when present
+        def run_fn(th, v, xs_, ys_, rem_):
+            return _lanczos_device(hvp_batch, th, xs_, ys_, rem_, v, m)
+
+        run = jax.jit(run_fn)
+        V_dev, alphas_dev, betas_dev = run(theta, v0, xs, ys, rem)
         V = np.asarray(V_dev)
         alphas = np.asarray(alphas_dev)
         betas = np.asarray(betas_dev)
         # truncate at breakdown (invariant subspace found)
         small = np.nonzero(betas < 1e-12)[0]
         actual_m = int(small[0]) + 1 if small.size else m
-        batches = None
+
+        # total loss from the stacked arrays (the loader may be one-shot)
+        @jax.jit
+        def total_loss(th, xs_, ys_, rem_):
+            def body(acc, inp):
+                x, y = inp
+                return acc + backend.lossfunc(model.apply_vec_curv(th, x), y), None
+
+            acc, _ = jax.lax.scan(body, jnp.asarray(0.0, theta.dtype), (xs_, ys_))
+            if rem_ is not None:
+                acc = acc + backend.lossfunc(
+                    model.apply_vec_curv(th, rem_[0]), rem_[1]
+                )
+            return acc
+
+        loss = backend.factor * float(total_loss(theta, xs, ys, rem))
     else:
         # generic loader fallback: host loop, jitted per-batch HVP
         batches = [(jnp.asarray(x), jnp.asarray(y)) for x, y in loader]
@@ -213,18 +224,12 @@ def lanczos_eig_curvature(backend, loader, low_rank: int = 10, parallel=None):
     eigvecs = jnp.asarray(ritz[:, mask])
     eigvals = jnp.asarray(evals[mask])
 
-    # total loss over the dataset at the MAP
-    loss_fn = jax.jit(
-        lambda t, x, y: backend.lossfunc(model.apply_vec_curv(t, x), y)
-    )
-    loss = 0.0
-    iter_batches = (
-        batches
-        if batches is not None
-        else [(jnp.asarray(x), jnp.asarray(y)) for x, y in loader]
-    )
-    for x, y in iter_batches:
-        loss += float(loss_fn(theta, x, y))
-    loss = backend.factor * loss
+    if loss is None:  # generic-loader fallback: loss over the same batch list
+        loss_fn = jax.jit(
+            lambda t, x, y: backend.lossfunc(model.apply_vec_curv(t, x), y)
+        )
+        loss = backend.factor * sum(
+            float(loss_fn(theta, x, y)) for x, y in batches
+        )
 
     return eigvecs, eigvals, jnp.asarray(loss)

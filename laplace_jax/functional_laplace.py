@@ -147,7 +147,6 @@ class FunctionalLaplace(BaseLaplace):
                 > _STREAMING_THRESHOLD_BYTES
             )
 
-        batches = []
         if progress_bar:  # reference `baselaplace.py:2466-2470`
             from tqdm.auto import tqdm
 
@@ -161,8 +160,7 @@ class FunctionalLaplace(BaseLaplace):
                     f"{jnp.ndim(yd)} dims."
                 )
             if use_streaming:
-                # transient per-batch Jacobian for μ and f — discarded after use
-                Js_b, f_b = None, None
+                # no Jacobian here: f from one forward, μ's shift via one jvp
                 f_b = jax.lax.stop_gradient(
                     self.model.apply(self.model.train_params, Xd)
                 )
@@ -187,7 +185,6 @@ class FunctionalLaplace(BaseLaplace):
             lambdas.append(lam)
             f_list.append(f_b)
             xs.append(Xd)
-            batches.append(Xd)
 
         self._sod_x = xs
         self.mu = jnp.concatenate(mus, axis=0)
@@ -199,7 +196,7 @@ class FunctionalLaplace(BaseLaplace):
             # K_MM assembled batch-pair-wise: only two (m_b, C, P) Jacobians
             # live at a time (reference `baselaplace.py:2420-2534`)
             self.Js_M = None
-            self.K_MM = self._kernel_streaming(batches)
+            self.K_MM = self._kernel_streaming(xs)
         else:
             self.Js_M = jnp.concatenate(Js_list, axis=0)  # (M, C, P)
             # K_MM via one MXU contraction on the cached Jacobians
@@ -265,10 +262,8 @@ class FunctionalLaplace(BaseLaplace):
                     row_blocks[i][j] = jnp.swapaxes(row_blocks[j][i], -1, -2)
                 else:
                     row_blocks[i][j] = row_blocks[j][i].T
-        if self.independent_outputs:
-            return jnp.concatenate(
-                [jnp.concatenate(row, axis=-1) for row in row_blocks], axis=-2
-            )
+        # both layouts concatenate rows over the second-to-last axis: blocks
+        # are (C, m_i, m_j) when independent, (m_i·C, m_j·C) otherwise
         return jnp.concatenate(
             [jnp.concatenate(row, axis=-1) for row in row_blocks], axis=-2
         )

@@ -61,14 +61,26 @@ def multihost_mesh(
     (1, n_devices) mesh, so code written against (dcn, ici) axes runs
     unchanged on one host.
     """
-    if num_processes is not None and num_processes > 1 and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    elif coordinator_address is not None and jax.process_count() == 1:
-        jax.distributed.initialize(coordinator_address=coordinator_address)
+    # NB: the already-initialized check must not touch the backend itself
+    # (jax.process_count() would initialize it, making a subsequent
+    # jax.distributed.initialize() always fail)
+    def _distributed_uninitialized() -> bool:
+        try:
+            from jax._src import distributed
+
+            return distributed.global_state.client is None
+        except Exception:
+            return True
+
+    if (
+        num_processes is not None and num_processes > 1
+    ) or coordinator_address is not None:
+        if _distributed_uninitialized():
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
 
     n_hosts = jax.process_count()
     devices = jax.devices()

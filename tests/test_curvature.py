@@ -347,3 +347,36 @@ def test_invalid_structure_backend_combos(mlp_model):
     loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=5)
     with pytest.raises(ValueError, match="not 'ef'"):
         be_ef.eig_lowrank(loader, low_rank=3)
+
+
+def test_lanczos_one_shot_loader_loss(mlp_model):
+    """The stacked Lanczos path must compute the loss from the stacked arrays:
+    a one-shot (generator-backed) loader is exhausted by stacking and can't be
+    re-iterated (round-2 review finding)."""
+    import numpy as np
+    from laplace_jax.curvature.backend import CurvatureBackend
+    from .utils import classification_data
+    from laplace_jax.utils.data import ArrayLoader
+
+    X, y = classification_data(n=8)
+
+    class OneShotLoader:
+        n_data = 8
+
+        def __init__(self):
+            self._used = False
+
+        def __iter__(self):
+            assert not self._used, "loader iterated twice"
+            self._used = True
+            yield np.asarray(X[:4]), np.asarray(y[:4])
+            yield np.asarray(X[4:]), np.asarray(y[4:])
+
+    backend = CurvatureBackend(mlp_model, "classification", "ggn")
+    U1, l1, loss1 = backend.eig_lowrank(OneShotLoader(), low_rank=3)
+    U2, l2, loss2 = backend.eig_lowrank(
+        ArrayLoader(np.asarray(X), np.asarray(y), batch_size=4), low_rank=3
+    )
+    assert float(loss1) != 0.0
+    assert np.allclose(float(loss1), float(loss2), rtol=1e-12)
+    assert np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-10)
