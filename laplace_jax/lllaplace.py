@@ -249,7 +249,40 @@ class KronLLLaplace(LLLaplace, KronLaplace):
                     key=key)
 
     def functional_variance_fast(self, x):
-        raise NotImplementedError
+        """O(b·(d+k)·(d·k)) diagonal output variance in the Kron eigenbasis —
+        implemented here although the reference deliberately stubs it
+        (`lllaplace.py:438-441`).
+
+        The last-layer Kron posterior is block-diagonal over the (bias,
+        kernel) groups, so with kernel covariance `(A⊗B + δI)^{-1}` in its
+        eigenbasis `(QA⊗QB) D^{-1} (QA⊗QB)ᵀ`:
+
+        ``var[b,c] = Σ_ij (QAᵀφ_b)_i² (QB[c,:])_j² / D_ij + var_bias[c]``
+        """
+        f_mu, phi = self.model.apply_with_features(
+            self.model.train_params, _as_device(x), self.last_layer_path,
+            self.feature_reduction,
+        )
+        pp = self.posterior_precision  # KronDecomposed incl. deltas
+        k = f_mu.shape[-1]
+        has_bias = any(s.path[-1] == "bias" for s in self.model.leaf_specs)
+        # flatten order: bias group (if any) first, then the kernel group
+        kernel_gi = 1 if has_bias else 0
+        QA, QB = pp.eigenvectors[kernel_gi]
+        lA, lB = pp.eigenvalues[kernel_gi]
+        delta = pp.deltas[kernel_gi]
+        Dinv = 1.0 / pp._group_eig((lA, lB), delta, 1.0)  # (d, k) eigen grid
+        u2 = (phi @ QA) ** 2  # (b, d)
+        QB2 = QB**2  # (k_out rows, k eigencols) with k_out == k
+        f_var = jnp.einsum("bi,cj,ij->bc", u2, QB2, Dinv)
+        if has_bias:
+            Qb = pp.eigenvectors[0][0]
+            lb = pp.eigenvalues[0][0]
+            var_bias = jnp.einsum(
+                "cj,j->c", Qb**2, 1.0 / (lb + pp.deltas[0])
+            )
+            f_var = f_var + var_bias[None, :]
+        return f_mu, f_var
 
 
 class DiagLLLaplace(LLLaplace, DiagLaplace):

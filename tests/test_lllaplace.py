@@ -94,11 +94,22 @@ def test_diag_ll_functional_variance_fast(model, class_loader):
     )
 
 
-def test_kron_ll_functional_variance_fast_unimplemented(model, class_loader):
-    la = KronLLLaplace(model, "classification")
+@pytest.mark.parametrize("damping", [False, True])
+def test_kron_ll_functional_variance_fast(model, class_loader, damping):
+    """Kron-eigenbasis fast diagonal output variance == slow Jacobian path.
+    The reference stubs this (`lllaplace.py:438-441`); laplace_jax implements
+    it."""
+    la = KronLLLaplace(model, "classification", damping=damping)
     la.fit(class_loader)
-    with pytest.raises(NotImplementedError):
-        la.functional_variance_fast(classification_data()[0])
+    la.prior_precision = 0.7
+    X, _ = classification_data()
+    f_mu_fast, f_var_fast = la.functional_variance_fast(X)
+    Js, f_mu = la.backend.last_layer_jacobians(X)
+    f_var_slow = jnp.diagonal(la.functional_variance(Js), axis1=-2, axis2=-1)
+    np.testing.assert_allclose(np.asarray(f_mu_fast), np.asarray(f_mu), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(f_var_fast), np.asarray(f_var_slow), atol=1e-10
+    )
 
 
 @pytest.mark.parametrize("flavor", LL_FLAVORS)
