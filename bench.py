@@ -125,17 +125,9 @@ def main() -> None:
     glm_samples_per_sec = reps * BATCH * n_samples / (time.perf_counter() - t0)
 
     # ---- phase breakdown: scan accumulation vs eigh epilogue ----------------
-    # (run LAST: the cost-analysis AOT compile must not disturb the headline)
     from laplace_jax.baselaplace import _stack_batches
 
     xs, ys, _ = _stack_batches(loader, la._unpack_batch)
-    try:
-        cost = la._scan_fit_fn.lower(
-            xs, ys, jnp.asarray(N_DATA), jax.random.key(0)
-        ).compile().cost_analysis()
-        acc_flops = float(cost.get("flops", 0.0))
-    except Exception:
-        acc_flops = float("nan")
     la._init_H()
     t0 = time.perf_counter()
     loss_acc, H_acc = la._scan_accumulate(xs, ys, N_DATA, jax.random.key(0))
@@ -143,11 +135,21 @@ def main() -> None:
     # waits for the whole program, without shipping ~200MB of factors
     np.asarray(loss_acc)
     accumulate_sec = time.perf_counter() - t0
-    acc_tflops = acc_flops / accumulate_sec / 1e12
     t0 = time.perf_counter()
     H_dec = H_acc.decompose()
     np.asarray(H_dec.eigenvalues[0][0])
     decompose_sec = time.perf_counter() - t0
+    # XLA's own FLOP count for the accumulation program — the AOT compile this
+    # triggers goes through the remote compile helper and disturbs any timing
+    # that follows, so it runs dead last
+    try:
+        cost = la._scan_fit_fn.lower(
+            xs, ys, jnp.asarray(N_DATA), jax.random.key(0)
+        ).compile().cost_analysis()
+        acc_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        acc_flops = float("nan")
+    acc_tflops = acc_flops / accumulate_sec / 1e12
 
     result = {
         "metric": "kfac_fit_sec_resnet18_cifar",
