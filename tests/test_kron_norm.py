@@ -204,3 +204,28 @@ def test_diag_laplace_on_bn_wideresnet_smoke():
     with pytest.warns(UserWarning, match="zero curvature"):
         la_k.fit(loader)
     assert np.isfinite(float(la_k.log_marginal_likelihood()))
+
+
+def test_kron_norm_serialization_roundtrip(tmp_path):
+    """Zero norm-layer groups must survive the npz roundtrip and the
+    decompose-on-load epilogue."""
+    nnm = _bn_model("batch")
+    X, y = _bn_data()
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=6)
+    la = KronLaplace(nnm, "classification")
+    with pytest.warns(UserWarning):
+        la.fit(loader)
+    la.optimize_prior_precision(n_steps=5)
+    path = str(tmp_path / "bn_kron.npz")
+    la.save(path)
+
+    la2 = KronLaplace(nnm, "classification")
+    la2.load(path)
+    assert np.allclose(
+        float(la.log_marginal_likelihood()),
+        float(la2.log_marginal_likelihood()),
+        rtol=1e-10,
+    )
+    p1 = np.asarray(la(X[:4], link_approx="probit"))
+    p2 = np.asarray(la2(X[:4], link_approx="probit"))
+    assert np.allclose(p1, p2, atol=1e-10)
