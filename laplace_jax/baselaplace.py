@@ -507,7 +507,10 @@ class ParametricLaplace(BaseLaplace):
         and sharded (`parallel`) fits.
         """
         if override:
-            self._init_H()
+            # H's zero factors are NOT materialized here: the scan path
+            # overwrites H wholesale, and each zero-buffer creation is a
+            # device dispatch (43 of them for a ResNet-18 Kron). The loop
+            # path calls _init_H lazily below.
             self.loss = 0.0
             self.n_data = 0
             self._H_zero = True
@@ -557,6 +560,8 @@ class ParametricLaplace(BaseLaplace):
                 self.H = self.H + H
             self._H_zero = False
         else:
+            if getattr(self, "_H_zero", False):
+                self._init_H()
             iterator = train_loader
             if progress_bar:
                 from tqdm.auto import tqdm
