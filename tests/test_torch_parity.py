@@ -178,3 +178,142 @@ def test_kfac_parity_single_layer(data):
     np.testing.assert_allclose(np.asarray(kron.kfacs[0][0]), B_t, atol=1e-10)
     np.testing.assert_allclose(np.asarray(kron.kfacs[1][0]), A_t, atol=1e-10)
     np.testing.assert_allclose(np.asarray(kron.kfacs[1][1]), B_t, atol=1e-10)
+
+
+class JaxBNCNN(nn.Module):
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        # explicit symmetric padding to match torch's padding=1
+        x = nn.Conv(4, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    param_dtype=jnp.float64)(x)
+        x = nn.BatchNorm(use_running_average=True, param_dtype=jnp.float64)(x)
+        x = jnp.tanh(x)
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(3, param_dtype=jnp.float64)(x)
+
+
+def make_bn_pair(seed=0):
+    """Same-weights torch/jax conv+BN nets (eval-mode BN, shared stats)."""
+
+    class TorchBNCNN(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(2, 4, 3, stride=2, padding=1)
+            self.bn = torch.nn.BatchNorm2d(4)
+            self.fc = torch.nn.Linear(4 * 3 * 3, 3)
+
+        def forward(self, x):  # (B, C, H, W)
+            x = torch.tanh(self.bn(self.conv(x)))
+            x = x.permute(0, 2, 3, 1).flatten(1)  # match flax (h, w, c) order
+            return self.fc(x)
+
+    tmodel = TorchBNCNN().double().eval()
+    torch.manual_seed(seed)
+    for p in tmodel.parameters():
+        torch.nn.init.normal_(p, std=0.5)
+    with torch.no_grad():
+        tmodel.bn.running_mean.normal_(0.0, 0.3)
+        tmodel.bn.running_var.uniform_(0.5, 1.5)
+
+    jmodel = JaxBNCNN()
+    X0 = jnp.ones((1, 6, 6, 2), dtype=jnp.float64)
+    variables = jmodel.init(jax.random.key(0), X0)
+    variables = {
+        "params": {
+            "Conv_0": {
+                "kernel": jnp.asarray(
+                    tmodel.conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+                ),
+                "bias": jnp.asarray(tmodel.conv.bias.detach().numpy()),
+            },
+            "BatchNorm_0": {
+                "scale": jnp.asarray(tmodel.bn.weight.detach().numpy()),
+                "bias": jnp.asarray(tmodel.bn.bias.detach().numpy()),
+            },
+            "Dense_0": {
+                "kernel": jnp.asarray(tmodel.fc.weight.detach().numpy().T),
+                "bias": jnp.asarray(tmodel.fc.bias.detach().numpy()),
+            },
+        },
+        "batch_stats": {
+            "BatchNorm_0": {
+                "mean": jnp.asarray(tmodel.bn.running_mean.numpy()),
+                "var": jnp.asarray(tmodel.bn.running_var.numpy()),
+            }
+        },
+    }
+    return tmodel, NNModel.from_flax(jmodel, variables)
+
+
+def _torch_flat_grads(tmodel, scalar):
+    """Gradient of `scalar` w.r.t. all params in the jax canonical order
+    (alphabetical modules: BatchNorm(bias, scale), Conv(bias, kernel),
+    Dense(bias, kernel); conv kernel permuted to (kh, kw, in, out))."""
+    tmodel.zero_grad()
+    grads = torch.autograd.grad(scalar, list(tmodel.parameters()),
+                                retain_graph=True)
+    g_convW, g_convb, g_bnW, g_bnb, g_fcW, g_fcb = grads
+    return np.concatenate([
+        g_bnb.numpy().ravel(), g_bnW.numpy().ravel(),
+        g_convb.numpy().ravel(),
+        g_convW.numpy().transpose(2, 3, 1, 0).ravel(),
+        g_fcb.numpy().ravel(), g_fcW.numpy().T.ravel(),
+    ])
+
+
+def test_bn_net_forward_and_curvature_parity(data):
+    """Forward, per-sample gradients, exact GGN diag (norm taps) and the
+    norm-layer dense Fisher blocks all match torch autograd on a BN net."""
+    from laplace_jax.curvature.backend import CurvatureBackend
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((8, 6, 6, 2))
+    y = rng.integers(0, 3, size=(8,))
+    tmodel, nnm = make_bn_pair()
+
+    # forward parity (BN eval mode with shared running stats)
+    Xt = torch.tensor(X.transpose(0, 3, 1, 2))
+    f_t = tmodel(Xt).detach().numpy()
+    f_j = np.asarray(nnm.apply(nnm.train_params, jnp.asarray(X)))
+    np.testing.assert_allclose(f_j, f_t, atol=1e-12)
+
+    # per-sample loss-gradient parity (includes BN scale/bias)
+    backend = CurvatureBackend(nnm, "classification", "ggn")
+    Gs, loss = backend.gradients(jnp.asarray(X), jnp.asarray(y))
+    lossfn = torch.nn.CrossEntropyLoss(reduction="sum")
+    yt = torch.tensor(np.asarray(y))
+    for n in range(4):
+        ln = lossfn(tmodel(Xt[n : n + 1]), yt[n : n + 1])
+        g_t = _torch_flat_grads(tmodel, ln)
+        np.testing.assert_allclose(np.asarray(Gs[n]), g_t, atol=1e-10)
+
+    # exact tap-streamed GGN diagonal == torch-assembled J^T Λ J diagonal
+    _, d_taps = backend.diag(jnp.asarray(X), jnp.asarray(y))
+    P = nnm.n_params
+    J_rows = []
+    for n in range(X.shape[0]):
+        f = tmodel(Xt[n : n + 1])[0]
+        J_rows.append(np.stack([
+            _torch_flat_grads(tmodel, f[c]) for c in range(3)
+        ]))
+    J = np.stack(J_rows)  # (B, C, P)
+    p_t = torch.softmax(tmodel(Xt), dim=-1).detach().numpy()
+    lam = np.einsum("bc,ck->bck", p_t, np.eye(3)) - np.einsum(
+        "bc,bk->bck", p_t, p_t
+    )
+    d_torch = np.einsum("bcp,bck,bkp->p", J, lam, J)
+    np.testing.assert_allclose(np.asarray(d_taps), d_torch, atol=1e-10)
+
+    # norm-layer dense Fisher blocks (kron_unsupported='block') vs torch GGN
+    backend_blk = CurvatureBackend(
+        nnm, "classification", "ggn", kron_unsupported="block"
+    )
+    _, kron = backend_blk.kron(jnp.asarray(X), jnp.asarray(y), N=X.shape[0])
+    H_torch = np.einsum("bcp,bck,bkq->pq", J, lam, J)
+    for spec, group in zip(nnm.leaf_specs, kron.kfacs):
+        if "BatchNorm" not in spec.path[-2]:
+            continue
+        sl = slice(spec.offset, spec.offset + spec.size)
+        np.testing.assert_allclose(
+            np.asarray(group[0]), H_torch[sl, sl], atol=1e-10
+        ), spec.path
