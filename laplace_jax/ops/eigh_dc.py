@@ -1,0 +1,580 @@
+"""Level-batched spectral divide-and-conquer eigendecomposition for factor stacks.
+
+Why this exists: XLA's TPU eigendecomposition (QDWH spectral divide-and-conquer,
+`jax/_src/tpu/linalg/eigh.py`) processes its recursion agenda strictly
+sequentially — one subproblem at a time inside a `while_loop` — and a *batched*
+`jnp.linalg.eigh` on TPU lowers to `lax.map`, i.e. a stack of k factors runs k
+independent serial agendas back to back. For a KFAC decompose epilogue (tens of
+factors, sizes 512-4608; reference math `laplace/utils/matrix.py:123-150`) this
+leaves the MXU idle: measured ~10s for three 4608^2 factors on a v5e.
+
+This module drives the same spectral D&C [1] from the host, but batches each
+recursion *level* into a few vmapped device calls, pooling subproblems across
+the WHOLE set of factors (all shapes). Two measured facts about this TPU
+toolchain shape the design (see DESIGN.md):
+
+- batched matmul and batched Cholesky scale near-perfectly (3x4608^3 matmul in
+  14ms, 3x cholesky in 35ms), while batched QR is ~40x SLOWER than serial QR
+  (2.9s vs 72ms at (3, 9216, 4608)).
+- therefore every step is built from matmul + cholesky + triangular-solve
+  only: the spectral projector comes from a polynomial matrix-sign iteration
+  (Newton-Schulz quintic schedule + cubic polish) instead of QDWH's
+  QR-rational iterations, and subspace extraction uses randomized
+  shifted-CholeskyQR passes instead of a QR-complete factorization.
+
+Per-subproblem eigenvector bases stay LOCAL: each level writes its (b, b)
+orthogonal transforms into a block-diagonal (n, n) matrix L_level, and the
+global basis is the running product V <- V @ L_level (one batched matmul per
+class per level). Host<->device traffic is one small flag readback and one
+rank readback per level (about log2(n/termination) levels).
+
+[1] Nakatsukasa & Higham, "Stable and efficient spectral divide and conquer
+    algorithms for the symmetric eigenvalue decomposition and the SVD",
+    SIAM J. Sci. Comput. 35(3), 2013.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["eigh_stack_dc", "eigh_pooled_dc"]
+
+
+def _round_up(x: int, granularity: int) -> int:
+    return ((x + granularity - 1) // granularity) * granularity
+
+
+def _pow2_ceil(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def _masked(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Zero out rows/cols >= b of a padded square block."""
+    n = H.shape[-1]
+    i = jnp.arange(n)
+    m = (i[:, None] < b) & (i[None, :] < b)
+    return jnp.where(m, H, 0)
+
+
+def _masked_eye(B: int, b: jnp.ndarray, dtype) -> jnp.ndarray:
+    i = jnp.arange(B)
+    return jnp.where((i[:, None] == i[None, :]) & (i[:, None] < b), 1.0, 0.0).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# matrix sign via polynomial iterations (matmul-only, batches perfectly)
+# ---------------------------------------------------------------------------
+
+# Newton-Schulz quintic with slope 3.4445 at 0 (the Muon schedule): p maps
+# [0, 1.06] into itself with values in (0, 1.24), tripling small eigenvalues
+# per iteration. The cubic 1.5x - 0.5x^3 then converges quadratically to 1.
+_QUINTIC = (3.4445, -4.7750, 2.0315)
+
+_SCHEDULE_CACHE: dict = {}
+
+
+def _sign_schedule(dtype) -> tuple[int, int]:
+    """(num_quintic, num_cubic) iterations taking min|eigenvalue| from ~eps/8
+    up to 1 +- eps. Simulated numerically on the scalar maps (host, cached)."""
+    key = jnp.dtype(dtype).name
+    if key in _SCHEDULE_CACHE:
+        return _SCHEDULE_CACHE[key]
+    eps = float(jnp.finfo(dtype).eps)
+    a, b, c = _QUINTIC
+    grid = np.linspace(eps / 8, 1.0, 20001)
+    nq = 0
+    while grid.min() < 0.72 and nq < 80:
+        grid = a * grid + b * grid**3 + c * grid**5
+        grid = np.abs(grid)
+        nq += 1
+    nc = 0
+    while (np.abs(grid - 1.0).max() > eps) and nc < 12:
+        grid = 1.5 * grid - 0.5 * grid**3
+        nc += 1
+    _SCHEDULE_CACHE[key] = (nq, nc)
+    return _SCHEDULE_CACHE[key]
+
+
+def _sign_poly(X: jnp.ndarray, eye_b: jnp.ndarray, nq: int, nc: int) -> jnp.ndarray:
+    """sign(X) for symmetric X with spectrum in [-1, 1] (pre-normalized)."""
+    for _ in range(nq):
+        S = X @ X
+        X = X @ (_QUINTIC[0] * eye_b + _QUINTIC[1] * S + _QUINTIC[2] * (S @ S))
+    for _ in range(nc):
+        X = 1.5 * X - 0.5 * (X @ (X @ X))
+    return X
+
+
+# ---------------------------------------------------------------------------
+# randomized shifted-CholeskyQR subspace extraction (chol/trsm/matmul only)
+# ---------------------------------------------------------------------------
+
+
+def _cholqr_pass(Y: jnp.ndarray, r: jnp.ndarray, shift_rel: float) -> jnp.ndarray:
+    """One (optionally shifted) CholeskyQR pass on the first `r` columns of Y;
+    columns >= r are zero on input and output. The identity padding of the
+    Gram keeps the Cholesky PD on the masked part."""
+    B = Y.shape[-1]
+    i = jnp.arange(B)
+    valid = (i[:, None] < r) & (i[None, :] < r)
+    G = Y.T @ Y
+    if shift_rel:
+        s = shift_rel * jnp.trace(G) / jnp.maximum(r, 1).astype(G.dtype)
+        G = G + s * jnp.where((i[:, None] == i[None, :]) & (i[:, None] < r), 1.0, 0.0).astype(G.dtype)
+    G = jnp.where(valid, G, jnp.eye(B, dtype=G.dtype))
+    L = jnp.linalg.cholesky(G)
+    V = jax.lax.linalg.triangular_solve(L, Y, left_side=False, lower=True,
+                                        transpose_a=True)
+    return jnp.where(i[None, :] < r, V, 0)
+
+
+def _orth_cols(Y: jnp.ndarray, r: jnp.ndarray, shift_rel: float) -> jnp.ndarray:
+    """Orthonormalize the first `r` columns of Y: one shifted pass bounds the
+    condition number, two plain passes reach eps-orthonormality
+    (shifted CholeskyQR3, Fukaya et al. 2020)."""
+    V = _cholqr_pass(Y, r, shift_rel)
+    V = _cholqr_pass(V, r, 0.0)
+    return _cholqr_pass(V, r, 0.0)
+
+
+def _dyn_concat_cols(W1: jnp.ndarray, W2: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Place W2's columns starting at dynamic column offset r of W1 (W1's
+    columns >= r are zero)."""
+    B = W1.shape[-1]
+    pad = jnp.pad(W1, ((0, 0), (0, B)))
+    out = jax.lax.dynamic_update_slice(pad, W2, (jnp.int32(0), r.astype(jnp.int32)))
+    return out[:, :B]
+
+
+# ---------------------------------------------------------------------------
+# jitted level kernels
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _classify(subH: jnp.ndarray, sizes: jnp.ndarray, H0norms: jnp.ndarray):
+    """Early-exit flags and split points, mirroring the nearly-diagonal /
+    tiny-norm termination of XLA's `recursive_case` (Nakatsukasa & Higham
+    5.2): blocks whose off-diagonal is numerical noise are finalized with
+    their diagonal as eigenvalues instead of being split further."""
+
+    def one(H, b, H0n):
+        H = _masked(H, b)
+        eps = jnp.finfo(H.dtype).eps
+        norm = jnp.linalg.norm(H)
+        d = jnp.diagonal(H)
+        off = jnp.linalg.norm(H - jnp.diag(d))
+        done = (off <= 5 * eps * norm) | (norm < eps * H0n)
+        dm = jnp.where(jnp.arange(H.shape[0]) < b, d, jnp.nan)
+        return done, jnp.nanmedian(dm)
+
+    return jax.vmap(one)(subH, sizes, H0norms)
+
+
+@functools.partial(jax.jit, static_argnames=("nq", "nc", "shift_rel"))
+def _split_v2(subH: jnp.ndarray, sizes: jnp.ndarray, split_points: jnp.ndarray,
+              G_seed: jnp.ndarray, nq: int, nc: int, shift_rel: float):
+    """One vmapped divide step on a (m, B, B) stack of padded blocks.
+
+    Matmul/cholesky-only spectral split: polynomial sign of the shifted block
+    -> spectral projector -> randomized CholeskyQR bases of both eigenspaces
+    (the complement deflated against the first basis for exact mutual
+    orthogonality) -> congruence transforms.
+
+    Returns children `H_minus`/`H_plus` (m, B, B), the local orthogonal
+    transform `W = [V_minus | V_plus]` (m, B, B), and the minus-ranks.
+    """
+    B = subH.shape[-1]
+
+    def one(H, b, sigma):
+        H = _masked(H, b)
+        eye_b = _masked_eye(B, b, H.dtype)
+        X = H - sigma.astype(H.dtype) * eye_b
+        # symmetric: ||X||_2 <= ||X||_1 = ||X||_inf
+        alpha = jnp.max(jnp.sum(jnp.abs(X), axis=0))
+        X = jnp.where(alpha > 0, X / alpha, X)
+        S = _sign_poly(X, eye_b, nq, nc)
+        P_minus = 0.5 * (eye_b - S)  # projector onto eigenvalues < sigma
+        rank_minus = jnp.round(jnp.trace(P_minus)).astype(jnp.int32)
+        rank_plus = b.astype(jnp.int32) - rank_minus
+        swap = rank_plus < rank_minus
+        P_sel = jnp.where(swap, eye_b - P_minus, P_minus)
+        r_sel = jnp.where(swap, rank_plus, rank_minus)
+        r_oth = b.astype(jnp.int32) - r_sel
+
+        i = jnp.arange(B)
+        Y1 = jnp.where(i[None, :] < r_sel, P_sel @ G_seed, 0)
+        V1 = _orth_cols(Y1, r_sel, shift_rel)
+        Y2 = (eye_b - P_sel) @ G_seed
+        Y2 = Y2 - V1 @ (V1.T @ Y2)  # deflate: exact mutual orthogonality
+        Y2 = jnp.where(i[None, :] < r_oth, Y2, 0)
+        V2 = _orth_cols(Y2, r_oth, shift_rel)
+
+        Vm = jnp.where(swap, V2, V1)  # spans the below-split eigenspace
+        Vp = jnp.where(swap, V1, V2)
+        Hm = (Vm.T @ H) @ Vm
+        Hp = (Vp.T @ H) @ Vp
+        W = _dyn_concat_cols(Vm, Vp, rank_minus)
+        return Hm, Hp, W, rank_minus
+
+    return jax.vmap(one)(subH, sizes, split_points)
+
+
+@jax.jit
+def _base_eigh(subH: jnp.ndarray, sizes: jnp.ndarray):
+    """Batched dense eigendecomposition of terminal blocks.
+
+    Padding trick: masked-out rows/cols are replaced by `BIG * I` with `BIG`
+    above the block's spectral radius (Frobenius bound — a max-entry bound is
+    NOT sufficient), so padding eigenvalues sort strictly last under the
+    ascending-order contract and the valid b columns come out first."""
+
+    def one(H, b):
+        B = H.shape[0]
+        H = _masked(H, b)
+        big = 2.0 * jnp.linalg.norm(H) + 1.0
+        i = jnp.arange(B)
+        pad_eye = jnp.where((i[:, None] == i[None, :]) & (i[:, None] >= b),
+                            big.astype(H.dtype), 0)
+        vals, vecs = jnp.linalg.eigh(H + pad_eye, symmetrize_input=False)
+        valid = i < b
+        return jnp.where(valid, vals, 0), jnp.where(valid[None, :], vecs, 0)
+
+    return jax.vmap(one)(subH, sizes)
+
+
+@jax.jit
+def _diag_vals(subH: jnp.ndarray, sizes: jnp.ndarray):
+    """Nearly-diagonal / noise-level blocks: diagonal as eigenvalues, basis
+    unchanged (XLA's `nearly_diagonal_case`)."""
+
+    def one(H, b):
+        valid = jnp.arange(H.shape[0]) < b
+        return jnp.where(valid, jnp.diagonal(H), 0)
+
+    return jax.vmap(one)(subH, sizes)
+
+
+@jax.jit
+def _scatter_blocks(L: jnp.ndarray, W: jnp.ndarray, mats: jnp.ndarray,
+                    offs: jnp.ndarray, sizes: jnp.ndarray) -> jnp.ndarray:
+    """Write (m, B, B) local blocks into the (k, n, n) block-diagonal L at
+    (mat, off, off); entries outside each block's (b, b) range are dropped."""
+    m, B, _ = W.shape
+    n = L.shape[1]
+    i = jnp.arange(B)
+    row = offs[:, None, None] + i[None, :, None]
+    col = offs[:, None, None] + i[None, None, :]
+    valid = (i[None, :, None] < sizes[:, None, None]) & (
+        i[None, None, :] < sizes[:, None, None]
+    )
+    row = jnp.where(valid, row, n)  # out of bounds -> dropped
+    col = jnp.where(valid, col, n)
+    mat_idx = jnp.broadcast_to(mats[:, None, None], W.shape)
+    return L.at[mat_idx, row, col].set(W, mode="drop")
+
+
+@jax.jit
+def _scatter_vals(buf: jnp.ndarray, vals: jnp.ndarray, col_base: jnp.ndarray,
+                  sizes: jnp.ndarray) -> jnp.ndarray:
+    """Scatter (m, B) eigenvalue rows into the flat (kn+1,) buffer; padded
+    entries land in the trailing scratch slot."""
+    m, B = vals.shape
+    kn = buf.shape[0] - 1
+    j = jnp.arange(B)[None, :]
+    idx = jnp.where(j < sizes[:, None], col_base[:, None] + j, kn)
+    return buf.at[idx.reshape(-1)].set(vals.reshape(-1), mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# host-side driver
+# ---------------------------------------------------------------------------
+
+_TERMINATION = 256
+_BUCKET = 128  # TPU lane width; tighter padding than 256 for odd sizes
+# condition bound for the first (shifted) CholeskyQR pass; see _orth_cols
+_SHIFT_REL = {"float32": 1e-3, "float64": 1e-9}
+
+
+class _Record:
+    """Host-side subproblem descriptor."""
+
+    __slots__ = ("cls", "mat", "off", "size", "src", "idx")
+
+    def __init__(self, cls, mat, off, size, src=None, idx=None):
+        self.cls = cls    # class index (shape group)
+        self.mat = mat    # matrix index within the class
+        self.off = off    # diagonal offset within the matrix
+        self.size = size  # true block size
+        self.src = src    # ("m"|"p", device array) holding the block, or None
+        self.idx = idx    # row in the source stack
+
+
+def _gather_blocks(records, width, stacks):
+    """Stack each record's (width, width) top-left block slice; sources
+    smaller than the bucket width (rounded-up level-0 matrices) are padded."""
+    src = records[0].src
+    if all(r.src == src for r in records):
+        arr = stacks[src]
+        if [r.idx for r in records] == list(range(arr.shape[0])):
+            # whole-stack fast path (level 0): no gather copy
+            if arr.shape[-1] == width:
+                return arr
+            if arr.shape[-1] < width:
+                d = width - arr.shape[-1]
+                return jnp.pad(arr, ((0, 0), (0, d), (0, d)))
+        out = jnp.take(arr, jnp.asarray([r.idx for r in records]), axis=0)
+        out = out[:, :width, :width]
+        if out.shape[-1] < width:
+            d = width - out.shape[-1]
+            out = jnp.pad(out, ((0, 0), (0, d), (0, d)))
+        return out
+    out = []
+    for rec in records:
+        arr = stacks[rec.src][rec.idx][:width, :width]
+        if arr.shape[0] < width:
+            d = width - arr.shape[0]
+            arr = jnp.pad(arr, ((0, d), (0, d)))
+        out.append(arr)
+    return jnp.stack(out)
+
+
+def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
+    """Eigendecompose a collection of symmetric-matrix stacks together.
+
+    `stacks` is a list of (k_c, n_c, n_c) arrays (one per distinct factor
+    shape). All same-level D&C subproblems across every stack are pooled into
+    shared vmapped dispatches. Returns a list of `(eigenvalues, eigenvectors)`
+    per input stack, ascending per matrix, matching `jnp.linalg.eigh`.
+    """
+    stacks = [jnp.asarray(s) for s in stacks]
+    for s in stacks:
+        if s.ndim != 3 or s.shape[1] != s.shape[2]:
+            raise ValueError(f"expected (k, n, n) stacks, got {s.shape}")
+    if not stacks:
+        return []
+    dtype = stacks[0].dtype
+    if any(s.dtype != dtype for s in stacks):
+        raise ValueError("all stacks must share one dtype; pool per dtype")
+    nq, nc = _sign_schedule(dtype)
+    shift_rel = _SHIFT_REL.get(jnp.dtype(dtype).name, 1e-3)
+
+    sym = [(s + jnp.swapaxes(s, 1, 2)) / 2 for s in stacks]
+    H0norms = [np.asarray(jnp.linalg.norm(s, axis=(1, 2))) for s in sym]
+
+    # per-class output state
+    vals_bufs = [jnp.zeros((s.shape[0] * s.shape[1] + 1,), dtype) for s in sym]
+    V_accs: list = [None] * len(sym)
+
+    # level-0 agenda: whole matrices; blocks live in the class stacks
+    blockstore: dict = {}
+    records: list[_Record] = []
+    for ci, s in enumerate(sym):
+        blockstore[("init", ci)] = s
+        for mi in range(s.shape[0]):
+            records.append(_Record(ci, mi, 0, s.shape[1], ("init", ci), mi))
+
+    G_cache: dict = {}
+
+    while records:
+        # ---- group by bucket width ------------------------------------
+        groups: dict = {}
+        for rec in records:
+            groups.setdefault(_round_up(rec.size, _BUCKET), []).append(rec)
+
+        next_records: list[_Record] = []
+        new_blockstore: dict = {}
+        # per-class pending writes for this level
+        level_L: dict = {}
+
+        def _get_L(ci):
+            if ci not in level_L:
+                k_c, n_c, _ = sym[ci].shape
+                level_L[ci] = jnp.broadcast_to(
+                    jnp.eye(n_c, dtype=dtype)[None], (k_c, n_c, n_c)
+                )
+            return level_L[ci]
+
+        for Bk, recs in sorted(groups.items(), key=lambda kv: -kv[0]):
+            m = len(recs)
+            m_pad = _pow2_ceil(m)
+            subH = _gather_blocks(recs, Bk, blockstore)
+            if m_pad > m:
+                subH = jnp.pad(subH, ((0, m_pad - m), (0, 0), (0, 0)))
+            sizes_h = np.array([r.size for r in recs], np.int64)
+            sizes = jnp.asarray(
+                np.concatenate([sizes_h, np.ones(m_pad - m)]), jnp.int32
+            )
+
+            if Bk <= termination_size:
+                # terminal: one batched dense eigh for the whole group
+                bvals, bvecs = _base_eigh(subH, sizes)
+                for ci in {r.cls for r in recs}:
+                    sel = [i for i, r in enumerate(recs) if r.cls == ci]
+                    level_L[ci] = _scatter_blocks(
+                        _get_L(ci), bvecs[jnp.asarray(sel)],
+                        jnp.asarray([recs[i].mat for i in sel], jnp.int32),
+                        jnp.asarray([recs[i].off for i in sel], jnp.int32),
+                        jnp.asarray([recs[i].size for i in sel], jnp.int32),
+                    )
+                    n_c = sym[ci].shape[1]
+                    vals_bufs[ci] = _scatter_vals(
+                        vals_bufs[ci], bvals[jnp.asarray(sel)],
+                        jnp.asarray(
+                            [recs[i].mat * n_c + recs[i].off for i in sel],
+                            jnp.int32,
+                        ),
+                        jnp.asarray([recs[i].size for i in sel], jnp.int32),
+                    )
+                continue
+
+            H0n = jnp.asarray(
+                np.concatenate(
+                    [np.array([H0norms[r.cls][r.mat] for r in recs]),
+                     np.ones(m_pad - m)]
+                ),
+                dtype,
+            )
+            done, medians = _classify(subH, sizes, H0n)
+            done = np.asarray(done)[:m]  # sync 1: early-exit flags
+
+            idx_done = np.flatnonzero(done)
+            idx_act = np.flatnonzero(~done)
+
+            if idx_done.size:
+                sel = jnp.asarray(idx_done)
+                dvals = _diag_vals(jnp.take(subH, sel, axis=0),
+                                   jnp.take(sizes, sel))
+                # eigvecs: identity block (L untouched); only values written
+                for ci in {recs[i].cls for i in idx_done}:
+                    _get_L(ci)  # materialize so V_acc update happens uniformly
+                    n_c = sym[ci].shape[1]
+                    rows = [j for j, i in enumerate(idx_done)
+                            if recs[i].cls == ci]
+                    vals_bufs[ci] = _scatter_vals(
+                        vals_bufs[ci], dvals[jnp.asarray(rows)],
+                        jnp.asarray(
+                            [recs[idx_done[j]].mat * n_c + recs[idx_done[j]].off
+                             for j in rows], jnp.int32),
+                        jnp.asarray(
+                            [recs[idx_done[j]].size for j in rows], jnp.int32),
+                    )
+
+            if not idx_act.size:
+                continue
+
+            ma = idx_act.size
+            ma_pad = _pow2_ceil(ma)
+            sel = jnp.asarray(idx_act)
+            subH_a = jnp.take(subH, sel, axis=0)
+            med_a = jnp.take(medians, sel)
+            if ma_pad > ma:
+                subH_a = jnp.pad(subH_a, ((0, ma_pad - ma), (0, 0), (0, 0)))
+                med_a = jnp.pad(med_a, (0, ma_pad - ma))
+            sizes_a = jnp.asarray(
+                np.concatenate([sizes_h[idx_act], np.ones(ma_pad - ma)]),
+                jnp.int32,
+            )
+            if Bk not in G_cache:
+                G_cache[Bk] = jax.random.normal(
+                    jax.random.key(20260816), (Bk, Bk), dtype
+                )
+            Hm, Hp, W, ranks = _split_v2(
+                subH_a, sizes_a, med_a, G_cache[Bk],
+                nq=nq, nc=nc, shift_rel=shift_rel,
+            )
+            ranks = np.asarray(ranks)[:ma].astype(np.int64)  # sync 2
+
+            new_blockstore[("m", Bk)] = Hm
+            new_blockstore[("p", Bk)] = Hp
+
+            # local transforms into this level's block-diagonal L
+            ok_rows = [j for j, gi in enumerate(idx_act)
+                       if 0 < ranks[j] < recs[gi].size]
+            for ci in {recs[gi].cls for gi in idx_act}:
+                rows = [j for j in ok_rows if recs[idx_act[j]].cls == ci]
+                if not rows:
+                    _get_L(ci)
+                    continue
+                level_L[ci] = _scatter_blocks(
+                    _get_L(ci), W[jnp.asarray(rows)],
+                    jnp.asarray([recs[idx_act[j]].mat for j in rows], jnp.int32),
+                    jnp.asarray([recs[idx_act[j]].off for j in rows], jnp.int32),
+                    jnp.asarray([recs[idx_act[j]].size for j in rows], jnp.int32),
+                )
+
+            for j, gi in enumerate(idx_act):
+                rec = recs[gi]
+                b, r = rec.size, int(ranks[j])
+                if r <= 0 or r >= b:
+                    # degenerate split (projector rank 0 or full): solve the
+                    # block directly with XLA's serial eigh — guaranteed
+                    # progress, rare.
+                    Hi = _masked(subH_a[j], jnp.int32(b))[:b, :b]
+                    fvals, fvecs = jnp.linalg.eigh(Hi)
+                    Bp = _round_up(b, 8)
+                    fvecs = jnp.pad(fvecs, ((0, Bp - b), (0, Bp - b)))[None]
+                    fvals = jnp.pad(fvals, (0, Bp - b))[None]
+                    level_L[rec.cls] = _scatter_blocks(
+                        _get_L(rec.cls), fvecs,
+                        jnp.asarray([rec.mat], jnp.int32),
+                        jnp.asarray([rec.off], jnp.int32),
+                        jnp.asarray([b], jnp.int32),
+                    )
+                    n_c = sym[rec.cls].shape[1]
+                    vals_bufs[rec.cls] = _scatter_vals(
+                        vals_bufs[rec.cls], fvals,
+                        jnp.asarray([rec.mat * n_c + rec.off], jnp.int32),
+                        jnp.asarray([b], jnp.int32),
+                    )
+                    continue
+                next_records.append(
+                    _Record(rec.cls, rec.mat, rec.off, r, ("m", Bk), j)
+                )
+                next_records.append(
+                    _Record(rec.cls, rec.mat, rec.off + r, b - r, ("p", Bk), j)
+                )
+
+        # ---- compose this level's transforms into the running bases -----
+        for ci, L in level_L.items():
+            V_accs[ci] = L if V_accs[ci] is None else V_accs[ci] @ L
+
+        records = next_records
+        blockstore = new_blockstore
+
+    # ---- final ordering per matrix ---------------------------------------
+    out = []
+    for ci, s in enumerate(sym):
+        k_c, n_c, _ = s.shape
+        vals = vals_bufs[ci][:-1].reshape(k_c, n_c)
+        vecs = V_accs[ci]
+        if vecs is None:  # degenerate: everything solved via fallbacks only
+            vecs = jnp.broadcast_to(jnp.eye(n_c, dtype=dtype)[None],
+                                    (k_c, n_c, n_c))
+        order = jnp.argsort(vals, axis=1)
+        vals = jnp.take_along_axis(vals, order, axis=1)
+        vecs = jnp.take_along_axis(vecs, order[:, None, :], axis=2)
+        out.append((vals, vecs))
+    return out
+
+
+def eigh_stack_dc(stack, termination_size: int = _TERMINATION):
+    """Eigendecompose a (k, n, n) stack of symmetric matrices.
+
+    Drop-in for `jnp.linalg.eigh` on a stack (ascending eigenvalues), but all
+    same-level D&C subproblems run in shared vmapped dispatches instead of
+    XLA's serial agenda. Intended for TPU; on CPU it is correct but LAPACK's
+    direct solver is faster. Returns `(eigenvalues (k, n), eigenvectors
+    (k, n, n))`.
+    """
+    stack = jnp.asarray(stack)
+    if stack.ndim != 3 or stack.shape[1] != stack.shape[2]:
+        raise ValueError(f"expected (k, n, n) stack, got {stack.shape}")
+    if stack.shape[1] <= termination_size:
+        return jnp.linalg.eigh((stack + jnp.swapaxes(stack, 1, 2)) / 2)
+    [(vals, vecs)] = eigh_pooled_dc([stack], termination_size=termination_size)
+    return vals, vecs

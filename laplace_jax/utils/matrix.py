@@ -31,12 +31,20 @@ from laplace_jax.utils.linalg import block_diag, kron, symeig
 
 __all__ = ["Kron", "KronDecomposed"]
 
-# Eigensolver override for Kron.decompose on TPU/GPU: "qdwh" (spectral
-# divide-and-conquer), "jacobi", or None for the platform default (QDWH on
-# TPU). Measured on v5e: QDWH beats Jacobi by 4-50x at KFAC factor sizes
-# (1152: 0.19s vs 2.5s; 2304: 0.69s vs 36s), so the default stands.
+# Eigensolver override for Kron.decompose on TPU/GPU: "dc" (host-driven
+# level-batched spectral divide-and-conquer, `laplace_jax.ops.eigh_dc` — the
+# TPU default above _DC_MIN_SIZE), "qdwh" (XLA's serial-agenda spectral D&C),
+# "jacobi", or None for the platform default. Measured on v5e: QDWH beats
+# Jacobi by 4-50x at KFAC factor sizes (1152: 0.19s vs 2.5s; 2304: 0.69s vs
+# 36s), and the level-batched D&C beats QDWH by batching all same-level
+# subproblems of a factor stack into single dispatches (XLA's agenda is
+# strictly serial, and batched eigh on TPU lowers to `lax.map`).
 # CPU always uses LAPACK via the platform default.
 EIGH_IMPLEMENTATION: str | None = None
+
+# Below this factor size the serial XLA path is fine (Jacobi base case
+# directly); the DC driver's host round-trips would not pay for themselves.
+_DC_MIN_SIZE = 512
 
 
 import functools
@@ -62,10 +70,32 @@ def _batched_eigh_jit(stack: jnp.ndarray, impl: str | None = None):
     return jnp.nan_to_num(jnp.clip(l, min=0.0)), jnp.nan_to_num(Q), flags
 
 
-def _batched_eigh_clipped(stack: jnp.ndarray):
+@jax.jit
+def _clip_flags(l: jnp.ndarray, Q: jnp.ndarray):
+    flags = jnp.isnan(l).any(axis=1) | jnp.isnan(Q).any(axis=(1, 2))
+    return jnp.nan_to_num(jnp.clip(l, min=0.0)), jnp.nan_to_num(Q), flags
+
+
+def _use_dc(n: int) -> bool:
     impl = (
         EIGH_IMPLEMENTATION
         if jax.default_backend() in ("tpu", "gpu")
+        else None
+    )
+    return impl == "dc" or (
+        impl is None and jax.default_backend() == "tpu" and n >= _DC_MIN_SIZE
+    )
+
+
+def _batched_eigh_clipped(stack: jnp.ndarray):
+    if _use_dc(stack.shape[-1]):
+        from laplace_jax.ops.eigh_dc import eigh_stack_dc
+
+        l, Q = eigh_stack_dc(stack)
+        return _clip_flags(l, Q)
+    impl = (
+        EIGH_IMPLEMENTATION
+        if jax.default_backend() in ("tpu", "gpu") and EIGH_IMPLEMENTATION != "dc"
         else None
     )
     return _batched_eigh_jit(stack, impl=impl)
@@ -167,11 +197,13 @@ class Kron:
     def decompose(self, damping: bool = False) -> "KronDecomposed":
         """Eigendecompose each factor (reference `matrix.py:123-150`).
 
-        Factors are grouped by shape and each shape class is decomposed by ONE
-        batched `eigh` dispatch — a deep conv net's epilogue is ~#unique-shapes
-        device calls instead of #factors (compiled programs persist across
-        processes via the compilation cache). Everything is dispatched
-        asynchronously and NaN-checked with a single host sync at the end;
+        Factors are grouped by shape; on TPU all classes at or above
+        `_DC_MIN_SIZE` are decomposed TOGETHER by the level-batched spectral
+        divide-and-conquer driver (`laplace_jax.ops.eigh_dc`), which pools
+        same-level subproblems across the whole factor set into shared
+        vmapped dispatches — XLA's own eigh would run one serial agenda per
+        factor. Remaining classes go through one batched `eigh` dispatch per
+        shape. Everything is NaN-checked with a single host sync at the end;
         only offending factors take the jitter-retry path (`symeig`)."""
         by_shape: dict = {}
         for gi, F in enumerate(self.kfacs):
@@ -182,13 +214,32 @@ class Kron:
 
         results = {}
         flag_parts, flag_keys = [], []
-        for items in by_shape.values():
+        dc_by_dtype: dict = {}
+        for (shape, dt), items in by_shape.items():
             stack = jnp.stack([Hi for _, _, Hi in items])
+            if _use_dc(shape[-1]):
+                dc_by_dtype.setdefault(dt, ([], []))
+                dc_by_dtype[dt][0].append(stack)
+                dc_by_dtype[dt][1].append(items)
+                continue
             ls, Qs, flags = _batched_eigh_clipped(stack)
             flag_parts.append(flags)
             for j, (gi, fi, _) in enumerate(items):
                 results[(gi, fi)] = (ls[j], Qs[j])
                 flag_keys.append((gi, fi))
+
+        if dc_by_dtype:
+            from laplace_jax.ops.eigh_dc import eigh_pooled_dc
+
+            for dc_stacks, dc_items in dc_by_dtype.values():
+                for (ls_raw, Qs_raw), items in zip(
+                    eigh_pooled_dc(dc_stacks), dc_items
+                ):
+                    ls, Qs, flags = _clip_flags(ls_raw, Qs_raw)
+                    flag_parts.append(flags)
+                    for j, (gi, fi, _) in enumerate(items):
+                        results[(gi, fi)] = (ls[j], Qs[j])
+                        flag_keys.append((gi, fi))
 
         flags = np.asarray(jnp.concatenate(flag_parts))  # ONE host sync
         for (gi, fi), bad in zip(flag_keys, flags):
