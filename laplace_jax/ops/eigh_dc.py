@@ -36,10 +36,13 @@ rank readback per level (about log2(n/termination) levels).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_DEBUG = bool(os.environ.get("EIGH_DC_DEBUG"))
 
 __all__ = ["eigh_stack_dc", "eigh_pooled_dc"]
 
@@ -86,13 +89,18 @@ def _sign_schedule(dtype) -> tuple[int, int]:
     eps = float(jnp.finfo(dtype).eps)
     a, b, c = _QUINTIC
     grid = np.linspace(eps / 8, 1.0, 20001)
+    # Quintic phase until everything clears 0.3. The threshold matters: the
+    # quintic's post-peak dip maps parts of [0.72, 1.24] down to ~0.65, so a
+    # higher threshold makes min(grid) oscillate and the loop run away; 0.3
+    # is re-entry-safe (p([0.3, 1.24]) >= 0.65) and the cubic converges from
+    # anywhere in (0, sqrt(3)).
     nq = 0
-    while grid.min() < 0.72 and nq < 80:
+    while grid.min() < 0.3 and nq < 60:
         grid = a * grid + b * grid**3 + c * grid**5
         grid = np.abs(grid)
         nq += 1
     nc = 0
-    while (np.abs(grid - 1.0).max() > eps) and nc < 12:
+    while (np.abs(grid - 1.0).max() > eps) and nc < 25:
         grid = 1.5 * grid - 0.5 * grid**3
         nc += 1
     _SCHEDULE_CACHE[key] = (nq, nc)
@@ -100,13 +108,21 @@ def _sign_schedule(dtype) -> tuple[int, int]:
 
 
 def _sign_poly(X: jnp.ndarray, eye_b: jnp.ndarray, nq: int, nc: int) -> jnp.ndarray:
-    """sign(X) for symmetric X with spectrum in [-1, 1] (pre-normalized)."""
-    for _ in range(nq):
+    """sign(X) for symmetric X with spectrum in [-1, 1] (pre-normalized).
+
+    Both phases use fixed coefficients, so they roll into `fori_loop`s — the
+    compiled graph stays iteration-count-independent (the unrolled form took
+    minutes to compile per shape variant on the remote toolchain)."""
+
+    def quintic(_, X):
         S = X @ X
-        X = X @ (_QUINTIC[0] * eye_b + _QUINTIC[1] * S + _QUINTIC[2] * (S @ S))
-    for _ in range(nc):
-        X = 1.5 * X - 0.5 * (X @ (X @ X))
-    return X
+        return X @ (_QUINTIC[0] * eye_b + _QUINTIC[1] * S + _QUINTIC[2] * (S @ S))
+
+    def cubic(_, X):
+        return 1.5 * X - 0.5 * (X @ (X @ X))
+
+    X = jax.lax.fori_loop(0, nq, quintic, X)
+    return jax.lax.fori_loop(0, nc, cubic, X)
 
 
 # ---------------------------------------------------------------------------
@@ -155,12 +171,26 @@ def _dyn_concat_cols(W1: jnp.ndarray, W2: jnp.ndarray, r: jnp.ndarray) -> jnp.nd
 # ---------------------------------------------------------------------------
 
 
+_RITZ_DIM = 128  # random-compression size for the split-point estimate
+
+
 @jax.jit
-def _classify(subH: jnp.ndarray, sizes: jnp.ndarray, H0norms: jnp.ndarray):
-    """Early-exit flags and split points, mirroring the nearly-diagonal /
-    tiny-norm termination of XLA's `recursive_case` (Nakatsukasa & Higham
-    5.2): blocks whose off-diagonal is numerical noise are finalized with
-    their diagonal as eigenvalues instead of being split further."""
+def _classify(subH: jnp.ndarray, sizes: jnp.ndarray, H0norms: jnp.ndarray,
+              G_ritz: jnp.ndarray):
+    """Early-exit flags and split points.
+
+    Early exits mirror the nearly-diagonal / tiny-norm termination of XLA's
+    `recursive_case` (Nakatsukasa & Higham 5.2): blocks whose off-diagonal is
+    numerical noise are finalized with their diagonal as eigenvalues.
+
+    The split point is the median RITZ VALUE of a random s-dimensional
+    compression (generalized pencil (G'HG, G'G) so masking needs no
+    re-orthonormalization). XLA splits at the median of the diagonal, but the
+    diagonal of a rotated matrix concentrates around trace/n, which for the
+    heavy-tailed spectra of KFAC factors peels off only the few eigenvalues
+    above the mean per level — LINEAR recursion depth (measured: ~150
+    eigenvalues per split on e^-12-decay Gram factors). The Ritz median
+    tracks the true eigenvalue median, keeping the recursion logarithmic."""
 
     def one(H, b, H0n):
         H = _masked(H, b)
@@ -169,10 +199,20 @@ def _classify(subH: jnp.ndarray, sizes: jnp.ndarray, H0norms: jnp.ndarray):
         d = jnp.diagonal(H)
         off = jnp.linalg.norm(H - jnp.diag(d))
         done = (off <= 5 * eps * norm) | (norm < eps * H0n)
-        dm = jnp.where(jnp.arange(H.shape[0]) < b, d, jnp.nan)
-        return done, jnp.nanmedian(dm)
 
-    return jax.vmap(one)(subH, sizes, H0norms)
+        Gm = jnp.where(jnp.arange(H.shape[0])[:, None] < b, G_ritz, 0)
+        A_s = Gm.T @ (H @ Gm)
+        B_s = Gm.T @ Gm
+        s = A_s.shape[0]
+        B_s = B_s + (10 * eps * jnp.trace(B_s) / s) * jnp.eye(s, dtype=H.dtype)
+        L = jnp.linalg.cholesky(B_s)
+        C = jax.lax.linalg.triangular_solve(L, A_s, left_side=True, lower=True)
+        C = jax.lax.linalg.triangular_solve(L, C.T, left_side=True, lower=True)
+        ritz = jnp.linalg.eigvalsh(C)
+        return done, jnp.median(ritz)
+
+    with jax.default_matmul_precision("float32"):
+        return jax.vmap(one)(subH, sizes, H0norms)
 
 
 @functools.partial(jax.jit, static_argnames=("nq", "nc", "shift_rel"))
@@ -194,6 +234,9 @@ def _split_v2(subH: jnp.ndarray, sizes: jnp.ndarray, split_points: jnp.ndarray,
         H = _masked(H, b)
         eye_b = _masked_eye(B, b, H.dtype)
         X = H - sigma.astype(H.dtype) * eye_b
+        # (matmul precision forced to true f32 by the caller's context: TPU's
+        # default reduced-precision matmuls would cap the sign accuracy at
+        # bf16 level, exactly as jax's own eigh forces 'float32')
         # symmetric: ||X||_2 <= ||X||_1 = ||X||_inf
         alpha = jnp.max(jnp.sum(jnp.abs(X), axis=0))
         X = jnp.where(alpha > 0, X / alpha, X)
@@ -214,6 +257,14 @@ def _split_v2(subH: jnp.ndarray, sizes: jnp.ndarray, split_points: jnp.ndarray,
         Y2 = jnp.where(i[None, :] < r_oth, Y2, 0)
         V2 = _orth_cols(Y2, r_oth, shift_rel)
 
+        # Re-deflate and lightly re-orthonormalize: the CholeskyQR passes'
+        # R^{-1} amplifies the first deflation's float residual by kappa(Y2)
+        # (measured ~6e-4 mutual orthogonality at f32). After this projection
+        # V2 is eps-orthogonal to V1 and near-orthonormal (kappa ~ 1), so one
+        # unshifted pass restores orthonormality without re-amplification.
+        V2 = V2 - V1 @ (V1.T @ V2)
+        V2 = _cholqr_pass(V2, r_oth, 0.0)
+
         Vm = jnp.where(swap, V2, V1)  # spans the below-split eigenspace
         Vp = jnp.where(swap, V1, V2)
         Hm = (Vm.T @ H) @ Vm
@@ -221,7 +272,8 @@ def _split_v2(subH: jnp.ndarray, sizes: jnp.ndarray, split_points: jnp.ndarray,
         W = _dyn_concat_cols(Vm, Vp, rank_minus)
         return Hm, Hp, W, rank_minus
 
-    return jax.vmap(one)(subH, sizes, split_points)
+    with jax.default_matmul_precision("float32"):
+        return jax.vmap(one)(subH, sizes, split_points)
 
 
 @jax.jit
@@ -314,6 +366,31 @@ class _Record:
         self.idx = idx    # row in the source stack
 
 
+def _padded_take(arr, rows):
+    """Gather rows with the index list padded to a power of two: keeps the
+    compiled-program shape space tiny (every distinct shape is a slow remote
+    compile on this toolchain). Padding rows duplicate row 0; callers mask
+    them out via zero sizes."""
+    mp = _pow2_ceil(max(len(rows), 1))
+    idx = list(rows) + [rows[0]] * (mp - len(rows))
+    return jnp.take(arr, jnp.asarray(idx, dtype=jnp.int32), axis=0)
+
+
+def _padded_meta(mats, offs, sizes, col_bases):
+    """Pad scatter metadata to the same power-of-two row count; padding rows
+    get size 0, which routes every one of their indices out of bounds."""
+    m = len(mats)
+    mp = _pow2_ceil(max(m, 1))
+    pad = mp - m
+    z = [0] * pad
+    return (
+        jnp.asarray(list(mats) + z, jnp.int32),
+        jnp.asarray(list(offs) + z, jnp.int32),
+        jnp.asarray(list(sizes) + z, jnp.int32),
+        jnp.asarray(list(col_bases) + z, jnp.int32),
+    )
+
+
 def _gather_blocks(records, width, stacks):
     """Stack each record's (width, width) top-left block slice; sources
     smaller than the bucket width (rounded-up level-0 matrices) are padded."""
@@ -380,11 +457,29 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
 
     G_cache: dict = {}
 
+    level = 0
     while records:
-        # ---- group by bucket width ------------------------------------
+        level += 1
+        # ---- group by (terminal?, bucket width) -------------------------
+        # routing is by SIZE: a small block must go to the dense base case
+        # even when its bucket rounds above the termination size.
         groups: dict = {}
         for rec in records:
-            groups.setdefault(_round_up(rec.size, _BUCKET), []).append(rec)
+            is_base = rec.size <= termination_size
+            groups.setdefault(
+                (is_base, _round_up(rec.size, _BUCKET)), []
+            ).append(rec)
+        if _DEBUG:
+            import sys as _sys
+            import time as _time
+
+            print(
+                f"[eigh_dc] level {level}: {len(records)} subproblems, "
+                f"groups {sorted(((B, len(rs)) for B, rs in groups.items()), reverse=True)} "
+                f"t={_time.strftime('%H:%M:%S')}",
+                file=_sys.stderr,
+                flush=True,
+            )
 
         next_records: list[_Record] = []
         new_blockstore: dict = {}
@@ -399,7 +494,9 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                 )
             return level_L[ci]
 
-        for Bk, recs in sorted(groups.items(), key=lambda kv: -kv[0]):
+        for (is_base, Bk), recs in sorted(
+            groups.items(), key=lambda kv: (-kv[0][1], kv[0][0])
+        ):
             m = len(recs)
             m_pad = _pow2_ceil(m)
             subH = _gather_blocks(recs, Bk, blockstore)
@@ -410,25 +507,23 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                 np.concatenate([sizes_h, np.ones(m_pad - m)]), jnp.int32
             )
 
-            if Bk <= termination_size:
+            if is_base:
                 # terminal: one batched dense eigh for the whole group
                 bvals, bvecs = _base_eigh(subH, sizes)
                 for ci in {r.cls for r in recs}:
                     sel = [i for i, r in enumerate(recs) if r.cls == ci]
-                    level_L[ci] = _scatter_blocks(
-                        _get_L(ci), bvecs[jnp.asarray(sel)],
-                        jnp.asarray([recs[i].mat for i in sel], jnp.int32),
-                        jnp.asarray([recs[i].off for i in sel], jnp.int32),
-                        jnp.asarray([recs[i].size for i in sel], jnp.int32),
-                    )
                     n_c = sym[ci].shape[1]
+                    mats, offs, szs, cbs = _padded_meta(
+                        [recs[i].mat for i in sel],
+                        [recs[i].off for i in sel],
+                        [recs[i].size for i in sel],
+                        [recs[i].mat * n_c + recs[i].off for i in sel],
+                    )
+                    level_L[ci] = _scatter_blocks(
+                        _get_L(ci), _padded_take(bvecs, sel), mats, offs, szs
+                    )
                     vals_bufs[ci] = _scatter_vals(
-                        vals_bufs[ci], bvals[jnp.asarray(sel)],
-                        jnp.asarray(
-                            [recs[i].mat * n_c + recs[i].off for i in sel],
-                            jnp.int32,
-                        ),
-                        jnp.asarray([recs[i].size for i in sel], jnp.int32),
+                        vals_bufs[ci], _padded_take(bvals, sel), cbs, szs
                     )
                 continue
 
@@ -439,29 +534,41 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                 ),
                 dtype,
             )
-            done, medians = _classify(subH, sizes, H0n)
+            if ("ritz", Bk) not in G_cache:
+                G_cache[("ritz", Bk)] = jax.random.normal(
+                    jax.random.key(7), (Bk, _RITZ_DIM), dtype
+                )
+            done, medians = _classify(subH, sizes, H0n, G_cache[("ritz", Bk)])
             done = np.asarray(done)[:m]  # sync 1: early-exit flags
 
             idx_done = np.flatnonzero(done)
             idx_act = np.flatnonzero(~done)
 
             if idx_done.size:
-                sel = jnp.asarray(idx_done)
-                dvals = _diag_vals(jnp.take(subH, sel, axis=0),
-                                   jnp.take(sizes, sel))
+                rows_all = list(idx_done)
+                dvals = _diag_vals(
+                    _padded_take(subH, rows_all),
+                    _padded_take(sizes, rows_all)
+                    * jnp.asarray(
+                        [1] * len(rows_all)
+                        + [0] * (_pow2_ceil(len(rows_all)) - len(rows_all)),
+                        jnp.int32,
+                    ),
+                )
                 # eigvecs: identity block (L untouched); only values written
                 for ci in {recs[i].cls for i in idx_done}:
                     _get_L(ci)  # materialize so V_acc update happens uniformly
                     n_c = sym[ci].shape[1]
                     rows = [j for j, i in enumerate(idx_done)
                             if recs[i].cls == ci]
+                    _, _, szs, cbs = _padded_meta(
+                        [0] * len(rows), [0] * len(rows),
+                        [recs[idx_done[j]].size for j in rows],
+                        [recs[idx_done[j]].mat * n_c + recs[idx_done[j]].off
+                         for j in rows],
+                    )
                     vals_bufs[ci] = _scatter_vals(
-                        vals_bufs[ci], dvals[jnp.asarray(rows)],
-                        jnp.asarray(
-                            [recs[idx_done[j]].mat * n_c + recs[idx_done[j]].off
-                             for j in rows], jnp.int32),
-                        jnp.asarray(
-                            [recs[idx_done[j]].size for j in rows], jnp.int32),
+                        vals_bufs[ci], _padded_take(dvals, rows), cbs, szs
                     )
 
             if not idx_act.size:
@@ -469,12 +576,9 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
 
             ma = idx_act.size
             ma_pad = _pow2_ceil(ma)
-            sel = jnp.asarray(idx_act)
-            subH_a = jnp.take(subH, sel, axis=0)
-            med_a = jnp.take(medians, sel)
-            if ma_pad > ma:
-                subH_a = jnp.pad(subH_a, ((0, ma_pad - ma), (0, 0), (0, 0)))
-                med_a = jnp.pad(med_a, (0, ma_pad - ma))
+            rows_act = list(idx_act)
+            subH_a = _padded_take(subH, rows_act)
+            med_a = _padded_take(medians, rows_act)
             sizes_a = jnp.asarray(
                 np.concatenate([sizes_h[idx_act], np.ones(ma_pad - ma)]),
                 jnp.int32,
@@ -500,11 +604,14 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                 if not rows:
                     _get_L(ci)
                     continue
+                mats, offs, szs, _ = _padded_meta(
+                    [recs[idx_act[j]].mat for j in rows],
+                    [recs[idx_act[j]].off for j in rows],
+                    [recs[idx_act[j]].size for j in rows],
+                    [0] * len(rows),
+                )
                 level_L[ci] = _scatter_blocks(
-                    _get_L(ci), W[jnp.asarray(rows)],
-                    jnp.asarray([recs[idx_act[j]].mat for j in rows], jnp.int32),
-                    jnp.asarray([recs[idx_act[j]].off for j in rows], jnp.int32),
-                    jnp.asarray([recs[idx_act[j]].size for j in rows], jnp.int32),
+                    _get_L(ci), _padded_take(W, rows), mats, offs, szs
                 )
 
             for j, gi in enumerate(idx_act):
@@ -516,7 +623,7 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                     # progress, rare.
                     Hi = _masked(subH_a[j], jnp.int32(b))[:b, :b]
                     fvals, fvecs = jnp.linalg.eigh(Hi)
-                    Bp = _round_up(b, 8)
+                    Bp = _round_up(b, 128)
                     fvecs = jnp.pad(fvecs, ((0, Bp - b), (0, Bp - b)))[None]
                     fvals = jnp.pad(fvals, (0, Bp - b))[None]
                     level_L[rec.cls] = _scatter_blocks(
@@ -540,8 +647,9 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                 )
 
         # ---- compose this level's transforms into the running bases -----
-        for ci, L in level_L.items():
-            V_accs[ci] = L if V_accs[ci] is None else V_accs[ci] @ L
+        with jax.default_matmul_precision("float32"):
+            for ci, L in level_L.items():
+                V_accs[ci] = L if V_accs[ci] is None else V_accs[ci] @ L
 
         records = next_records
         blockstore = new_blockstore

@@ -32,13 +32,15 @@ from laplace_jax.utils.linalg import block_diag, kron, symeig
 __all__ = ["Kron", "KronDecomposed"]
 
 # Eigensolver override for Kron.decompose on TPU/GPU: "dc" (host-driven
-# level-batched spectral divide-and-conquer, `laplace_jax.ops.eigh_dc` — the
-# TPU default above _DC_MIN_SIZE), "qdwh" (XLA's serial-agenda spectral D&C),
-# "jacobi", or None for the platform default. Measured on v5e: QDWH beats
-# Jacobi by 4-50x at KFAC factor sizes (1152: 0.19s vs 2.5s; 2304: 0.69s vs
-# 36s), and the level-batched D&C beats QDWH by batching all same-level
-# subproblems of a factor stack into single dispatches (XLA's agenda is
-# strictly serial, and batched eigh on TPU lowers to `lax.map`).
+# level-batched spectral divide-and-conquer, `laplace_jax.ops.eigh_dc`),
+# "qdwh" (XLA's serial-agenda spectral D&C), "jacobi", or None for the
+# platform default. Measured on v5e at the ResNet-18 KFAC factor set
+# (3x4608, 4x2304, 4x1152, ...): QDWH beats Jacobi by 4-50x (1152: 0.19s vs
+# 2.5s; 2304: 0.69s vs 36s), and currently beats the level-batched D&C
+# (4.0s vs 11.1s): the D&C's fixed-coefficient polynomial sign schedule
+# spends ~70 matmul-equivalents per split against QDWH's ~6 dynamically
+# weighted rational iterations, which batching 3-4 matrices cannot recover.
+# "dc" therefore stays OPT-IN until its split cost is competitive.
 # CPU always uses LAPACK via the platform default.
 EIGH_IMPLEMENTATION: str | None = None
 
@@ -77,14 +79,9 @@ def _clip_flags(l: jnp.ndarray, Q: jnp.ndarray):
 
 
 def _use_dc(n: int) -> bool:
-    impl = (
-        EIGH_IMPLEMENTATION
-        if jax.default_backend() in ("tpu", "gpu")
-        else None
-    )
-    return impl == "dc" or (
-        impl is None and jax.default_backend() == "tpu" and n >= _DC_MIN_SIZE
-    )
+    if jax.default_backend() not in ("tpu", "gpu"):
+        return False
+    return EIGH_IMPLEMENTATION == "dc" and n >= _DC_MIN_SIZE
 
 
 def _batched_eigh_clipped(stack: jnp.ndarray):
