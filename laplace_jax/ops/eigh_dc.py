@@ -17,10 +17,10 @@ toolchain shape the design (see DESIGN.md):
   14ms, 3x cholesky in 35ms), while batched QR is ~40x SLOWER than serial QR
   (2.9s vs 72ms at (3, 9216, 4608)).
 - therefore every step is built from matmul + cholesky + triangular-solve
-  only: the spectral projector comes from a polynomial matrix-sign iteration
-  (Newton-Schulz quintic schedule + cubic polish) instead of QDWH's
-  QR-rational iterations, and subspace extraction uses randomized
-  shifted-CholeskyQR passes instead of a QR-complete factorization.
+  only: the spectral projector comes from a capped dynamically-weighted
+  Halley matrix-sign iteration (QDWH in its Cholesky form, never its
+  QR form), and subspace extraction uses randomized shifted-CholeskyQR
+  passes instead of a QR-complete factorization.
 
 Per-subproblem eigenvector bases stay LOCAL: each level writes its (b, b)
 orthogonal transforms into a block-diagonal (n, n) matrix L_level, and the
@@ -69,60 +69,108 @@ def _masked_eye(B: int, b: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# matrix sign via polynomial iterations (matmul-only, batches perfectly)
+# matrix sign via capped dynamically-weighted Halley (QDWH, Cholesky form)
 # ---------------------------------------------------------------------------
 
-# Newton-Schulz quintic with slope 3.4445 at 0 (the Muon schedule): p maps
-# [0, 1.06] into itself with values in (0, 1.24), tripling small eigenvalues
-# per iteration. The cubic 1.5x - 0.5x^3 then converges quadratically to 1.
-_QUINTIC = (3.4445, -4.7750, 2.0315)
-
-_SCHEDULE_CACHE: dict = {}
-
-
-def _sign_schedule(dtype) -> tuple[int, int]:
-    """(num_quintic, num_cubic) iterations taking min|eigenvalue| from ~eps/8
-    up to 1 +- eps. Simulated numerically on the scalar maps (host, cached)."""
-    key = jnp.dtype(dtype).name
-    if key in _SCHEDULE_CACHE:
-        return _SCHEDULE_CACHE[key]
-    eps = float(jnp.finfo(dtype).eps)
-    a, b, c = _QUINTIC
-    grid = np.linspace(eps / 8, 1.0, 20001)
-    # Quintic phase until everything clears 0.3. The threshold matters: the
-    # quintic's post-peak dip maps parts of [0.72, 1.24] down to ~0.65, so a
-    # higher threshold makes min(grid) oscillate and the loop run away; 0.3
-    # is re-entry-safe (p([0.3, 1.24]) >= 0.65) and the cubic converges from
-    # anywhere in (0, sqrt(3)).
-    nq = 0
-    while grid.min() < 0.3 and nq < 60:
-        grid = a * grid + b * grid**3 + c * grid**5
-        grid = np.abs(grid)
-        nq += 1
-    nc = 0
-    while (np.abs(grid - 1.0).max() > eps) and nc < 25:
-        grid = 1.5 * grid - 0.5 * grid**3
-        nc += 1
-    _SCHEDULE_CACHE[key] = (nq, nc)
-    return _SCHEDULE_CACHE[key]
+# Weight cap: the Cholesky-form update factors Z = I + c X^2, which is only
+# numerically safe for moderate c (jax's own qdwh switches QR->Cholesky at
+# c <= 100; we never use QR because batched QR is ~40x slower than serial on
+# this toolchain — see module docstring). c(a) = a + (a-1)^2/4 - 1 <= 100
+# gives a <= 1 + (sqrt(1616) - 4)/2.
+_A_CAP = 1.0 + (np.sqrt(1616.0) - 4.0) / 2.0  # ~19.0997
+_SIGN_MAXIT = 40
 
 
-def _sign_poly(X: jnp.ndarray, eye_b: jnp.ndarray, nq: int, nc: int) -> jnp.ndarray:
-    """sign(X) for symmetric X with spectrum in [-1, 1] (pre-normalized).
+def _halley_weights(l):
+    """Dynamically-weighted Halley coefficients (Nakatsukasa & Higham eq. 3.6)
+    for current spectral lower bound `l`, with `a` capped for Cholesky safety.
+    For small `l` the capped iteration still grows the bound ~19x per step."""
+    l = jnp.clip(l, 1e-30, 1.0)
+    l2 = l * l
+    d = jnp.cbrt(4.0 * (1.0 - l2) / (l2 * l2))
+    f = 8.0 * (2.0 - l2) / (l2 * jnp.sqrt(1.0 + d))
+    a = jnp.sqrt(1.0 + d) + 0.5 * jnp.sqrt(
+        jnp.maximum(8.0 - 4.0 * d + f, 0.0)
+    )
+    a = jnp.minimum(a, l.dtype.type(_A_CAP))
+    b = (a - 1.0) ** 2 / 4.0
+    c = a + b - 1.0
+    return a, b, c
 
-    Both phases use fixed coefficients, so they roll into `fori_loop`s — the
-    compiled graph stays iteration-count-independent (the unrolled form took
-    minutes to compile per shape variant on the remote toolchain)."""
 
-    def quintic(_, X):
-        S = X @ X
-        return X @ (_QUINTIC[0] * eye_b + _QUINTIC[1] * S + _QUINTIC[2] * (S @ S))
+def _sign_halley(X, eye_b, full_eye, l0, v):
+    """sign(X) for symmetric X, spectrum in [-1, 1], min |eigenvalue| ~ l0.
 
-    def cubic(_, X):
-        return 1.5 * X - 0.5 * (X @ (X @ X))
+    QDWH-style weighted Halley driven by the l-recurrence, built from
+    matmul + Cholesky + triangular-solve only (all batch perfectly on TPU):
 
-    X = jax.lax.fori_loop(0, nq, quintic, X)
-    return jax.lax.fori_loop(0, nc, cubic, X)
+        X <- (b/c) X + (a - b/c) * X (I + c X^2)^{-1}
+
+    Termination measures the SPECTRAL deviation of X^2 from I with a 2-step
+    power iteration on (X^2 - I) against the fixed random probe `v` (three
+    matvecs; the X^2 comes free from the Z build). An entrywise residual is
+    blind to delocalized stragglers: an eigendirection stuck at |x| ~ 0.95
+    (e.g. when the Ritz gap fed into l0 doesn't exist in the true spectrum)
+    spreads its deviation over n^2 entries and shows up as ~1e-4 while
+    polluting the split subspace at 1e-1. The tolerance is ~sqrt(eps), not
+    eps: the divide step only needs every eigendirection CLASSIFIED to the
+    correct half-space — eigenvalues come from the congruence transform, and
+    residual coupling from a deviation theta enters the children only at
+    O(theta^2). An over-optimistic l0 therefore degrades to extra
+    (well-conditioned, late-stage) iterations, never to a wrong result;
+    `_SIGN_MAXIT` bounds the worst case. 4-9 iterations typical vs ~22 for
+    a fixed polynomial schedule — the dynamic weights are why this beats
+    matmul-only Newton-Schulz variants ~4x in FLOPs.
+    """
+    dt = X.dtype
+    eps = jnp.finfo(dt).eps
+    tol = 3.0 * float(np.sqrt(float(eps)))
+
+    def cond(state):
+        _, _, k, est_prev, est = state
+        ramping = est > 0.1
+        improving = est < 0.5 * est_prev
+        return (k < _SIGN_MAXIT) & (est > tol) & (ramping | improving)
+
+    def body(state):
+        X, l, k, _, est = state
+        X2 = X @ X
+        # X (hence X^2) is masked to the valid b x b block and v is zero
+        # outside it, so (X^2 - I) v needs no extra masking.
+        w1 = X2 @ v - v
+        w2 = X2 @ w1 - w1
+        n1 = jnp.linalg.norm(w1)
+        est_new = jnp.linalg.norm(w2) / jnp.maximum(n1, jnp.finfo(dt).tiny)
+        # first application loses a sqrt(n) overlap factor; don't let that
+        # report convergence while w1 itself is still large
+        est_new = jnp.maximum(
+            est_new, n1 / jnp.maximum(jnp.linalg.norm(v), jnp.finfo(dt).tiny)
+        )
+        a, b, c = _halley_weights(l)
+        Z = full_eye + c * X2
+        W = jnp.linalg.cholesky(Z)
+        Y = jax.lax.linalg.triangular_solve(W, X, left_side=True, lower=True)
+        Y = jax.lax.linalg.triangular_solve(
+            W, Y, left_side=True, lower=True, transpose_a=True
+        )
+        Xn = (b / c) * X + (a - b / c) * Y
+        ln = jnp.clip(l * (a + b * l * l) / (1.0 + c * l * l), 0.0, 1.0)
+        return Xn, ln, k + 1, est, est_new
+
+    big = jnp.asarray(jnp.finfo(dt).max, dt)
+    init = (X, jnp.asarray(l0, dt), jnp.int32(0), big, big)
+    X, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    # One unweighted Halley polish: the loop exits at the probe's noise
+    # floor (~sqrt(eps)); cubic convergence takes a 1e-3 deviation to 1e-9
+    # in one well-conditioned (c=3) step, restoring eps-level sign quality.
+    X2 = X @ X
+    Z = full_eye + 3.0 * X2
+    W = jnp.linalg.cholesky(Z)
+    Y = jax.lax.linalg.triangular_solve(W, X, left_side=True, lower=True)
+    Y = jax.lax.linalg.triangular_solve(
+        W, Y, left_side=True, lower=True, transpose_a=True
+    )
+    return (1.0 / 3.0) * X + (8.0 / 3.0) * Y
 
 
 # ---------------------------------------------------------------------------
@@ -130,19 +178,34 @@ def _sign_poly(X: jnp.ndarray, eye_b: jnp.ndarray, nq: int, nc: int) -> jnp.ndar
 # ---------------------------------------------------------------------------
 
 
-def _cholqr_pass(Y: jnp.ndarray, r: jnp.ndarray, shift_rel: float) -> jnp.ndarray:
+def _cholqr_pass(Y: jnp.ndarray, r: jnp.ndarray, shift_rel: float,
+                 fallback: bool = False) -> jnp.ndarray:
     """One (optionally shifted) CholeskyQR pass on the first `r` columns of Y;
     columns >= r are zero on input and output. The identity padding of the
-    Gram keeps the Cholesky PD on the masked part."""
+    Gram keeps the Cholesky PD on the masked part.
+
+    With `fallback=True` a second, heavily-shifted factorization is computed
+    alongside and selected per lane when the primary one fails: a random
+    sketch of a k-dim subspace by exactly k columns is a SQUARE Gaussian
+    within it, so kappa ~ O(n) tails occasionally push the Gram's smallest
+    eigenvalue to rounding level and Cholesky to NaN (observed to depend on
+    XLA fusion rounding). The fallback's kappa(V) <= ~8 guarantees the next
+    plain pass restores orthonormality."""
     B = Y.shape[-1]
     i = jnp.arange(B)
     valid = (i[:, None] < r) & (i[None, :] < r)
+    eye_r = jnp.where(
+        (i[:, None] == i[None, :]) & (i[:, None] < r), 1.0, 0.0
+    ).astype(Y.dtype)
     G = Y.T @ Y
+    tr = jnp.trace(G) / jnp.maximum(r, 1).astype(G.dtype)
     if shift_rel:
-        s = shift_rel * jnp.trace(G) / jnp.maximum(r, 1).astype(G.dtype)
-        G = G + s * jnp.where((i[:, None] == i[None, :]) & (i[:, None] < r), 1.0, 0.0).astype(G.dtype)
+        G = G + (shift_rel * tr) * eye_r
     G = jnp.where(valid, G, jnp.eye(B, dtype=G.dtype))
     L = jnp.linalg.cholesky(G)
+    if fallback:
+        L_fb = jnp.linalg.cholesky(G + (0.02 * tr) * eye_r)
+        L = jnp.where(jnp.isnan(L).any(), L_fb, L)
     V = jax.lax.linalg.triangular_solve(L, Y, left_side=False, lower=True,
                                         transpose_a=True)
     return jnp.where(i[None, :] < r, V, 0)
@@ -151,19 +214,11 @@ def _cholqr_pass(Y: jnp.ndarray, r: jnp.ndarray, shift_rel: float) -> jnp.ndarra
 def _orth_cols(Y: jnp.ndarray, r: jnp.ndarray, shift_rel: float) -> jnp.ndarray:
     """Orthonormalize the first `r` columns of Y: one shifted pass bounds the
     condition number, two plain passes reach eps-orthonormality
-    (shifted CholeskyQR3, Fukaya et al. 2020)."""
-    V = _cholqr_pass(Y, r, shift_rel)
-    V = _cholqr_pass(V, r, 0.0)
+    (shifted CholeskyQR3, Fukaya et al. 2020). The first two passes carry the
+    NaN-fallback (see `_cholqr_pass`)."""
+    V = _cholqr_pass(Y, r, shift_rel, fallback=True)
+    V = _cholqr_pass(V, r, 0.0, fallback=True)
     return _cholqr_pass(V, r, 0.0)
-
-
-def _dyn_concat_cols(W1: jnp.ndarray, W2: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Place W2's columns starting at dynamic column offset r of W1 (W1's
-    columns >= r are zero)."""
-    B = W1.shape[-1]
-    pad = jnp.pad(W1, ((0, 0), (0, B)))
-    out = jax.lax.dynamic_update_slice(pad, W2, (jnp.int32(0), r.astype(jnp.int32)))
-    return out[:, :B]
 
 
 # ---------------------------------------------------------------------------
@@ -183,14 +238,17 @@ def _classify(subH: jnp.ndarray, sizes: jnp.ndarray, H0norms: jnp.ndarray,
     `recursive_case` (Nakatsukasa & Higham 5.2): blocks whose off-diagonal is
     numerical noise are finalized with their diagonal as eigenvalues.
 
-    The split point is the median RITZ VALUE of a random s-dimensional
+    The split point comes from the RITZ VALUES of a random s-dimensional
     compression (generalized pencil (G'HG, G'G) so masking needs no
-    re-orthonormalization). XLA splits at the median of the diagonal, but the
-    diagonal of a rotated matrix concentrates around trace/n, which for the
-    heavy-tailed spectra of KFAC factors peels off only the few eigenvalues
-    above the mean per level — LINEAR recursion depth (measured: ~150
-    eigenvalues per split on e^-12-decay Gram factors). The Ritz median
-    tracks the true eigenvalue median, keeping the recursion logarithmic."""
+    re-orthonormalization): the midpoint between the two central Ritz
+    values. XLA splits at the median of the DIAGONAL, which for the
+    heavy-tailed spectra of KFAC factors concentrates at trace/n and peels
+    off only a few eigenvalues per level — LINEAR recursion depth
+    (measured: ~150 eigenvalues per split on e^-12-decay Gram factors) —
+    while the Ritz median tracks the true eigenvalue median (logarithmic
+    depth, and balanced splits minimize total recursion FLOPs). The
+    straddling Ritz spacing is also returned as an (optimistic) initial
+    lower bound for the sign iteration."""
 
     def one(H, b, H0n):
         H = _masked(H, b)
@@ -204,34 +262,48 @@ def _classify(subH: jnp.ndarray, sizes: jnp.ndarray, H0norms: jnp.ndarray,
         A_s = Gm.T @ (H @ Gm)
         B_s = Gm.T @ Gm
         s = A_s.shape[0]
-        B_s = B_s + (10 * eps * jnp.trace(B_s) / s) * jnp.eye(s, dtype=H.dtype)
+        # rank(B_s) = min(b, s): real lanes always have b > termination > s,
+        # but PADDING lanes (b = 1) would hand Cholesky a rank-1 pencil; a
+        # full-strength shift there keeps it PD (their outputs are unused)
+        shift = jnp.where(
+            b >= s, 10 * eps * jnp.trace(B_s) / s, jnp.asarray(1.0, H.dtype)
+        )
+        B_s = B_s + shift * jnp.eye(s, dtype=H.dtype)
         L = jnp.linalg.cholesky(B_s)
         C = jax.lax.linalg.triangular_solve(L, A_s, left_side=True, lower=True)
         C = jax.lax.linalg.triangular_solve(L, C.T, left_side=True, lower=True)
-        ritz = jnp.linalg.eigvalsh(C)
-        return done, jnp.median(ritz)
+        ritz = jnp.linalg.eigvalsh(C)  # ascending
+        # Split at the Ritz MEDIAN: balanced splits minimize total recursion
+        # FLOPs (sum over levels = 1.33x the first level at 50/50 vs 1.8x at
+        # 25/75 — max-gap selection was measured to produce exactly such
+        # lopsided splits on decaying Gram spectra). The straddling Ritz
+        # spacing still seeds the sign iteration's lower bound.
+        mid = s // 2
+        sigma = 0.5 * (ritz[mid - 1] + ritz[mid])
+        return done, sigma, 0.5 * (ritz[mid] - ritz[mid - 1])
 
     with jax.default_matmul_precision("float32"):
         return jax.vmap(one)(subH, sizes, H0norms)
 
 
-@functools.partial(jax.jit, static_argnames=("nq", "nc", "shift_rel"))
+@functools.partial(jax.jit, static_argnames=("shift_rel",))
 def _split_v2(subH: jnp.ndarray, sizes: jnp.ndarray, split_points: jnp.ndarray,
-              G_seed: jnp.ndarray, nq: int, nc: int, shift_rel: float):
+              gap_halves: jnp.ndarray, G_seed: jnp.ndarray, shift_rel: float):
     """One vmapped divide step on a (m, B, B) stack of padded blocks.
 
-    Matmul/cholesky-only spectral split: polynomial sign of the shifted block
-    -> spectral projector -> randomized CholeskyQR bases of both eigenspaces
-    (the complement deflated against the first basis for exact mutual
-    orthogonality) -> congruence transforms.
+    Matmul/cholesky-only spectral split: weighted-Halley sign of the shifted
+    block -> spectral projector -> one combined randomized CholeskyQR basis
+    covering both eigenspaces -> congruence transform.
 
     Returns children `H_minus`/`H_plus` (m, B, B), the local orthogonal
     transform `W = [V_minus | V_plus]` (m, B, B), and the minus-ranks.
     """
     B = subH.shape[-1]
+    full_eye = jnp.eye(B, dtype=subH.dtype)
 
-    def one(H, b, sigma):
+    def one(H, b, sigma, gap_half):
         H = _masked(H, b)
+        eps = jnp.finfo(H.dtype).eps
         eye_b = _masked_eye(B, b, H.dtype)
         X = H - sigma.astype(H.dtype) * eye_b
         # (matmul precision forced to true f32 by the caller's context: TPU's
@@ -240,40 +312,57 @@ def _split_v2(subH: jnp.ndarray, sizes: jnp.ndarray, split_points: jnp.ndarray,
         # symmetric: ||X||_2 <= ||X||_1 = ||X||_inf
         alpha = jnp.max(jnp.sum(jnp.abs(X), axis=0))
         X = jnp.where(alpha > 0, X / alpha, X)
-        S = _sign_poly(X, eye_b, nq, nc)
+        # spectral lower bound from the Ritz gap, halved for safety (true
+        # eigenvalues can sit inside a Ritz gap); the sign iteration's
+        # stall-based termination makes an overestimate non-fatal
+        l0 = jnp.clip(
+            0.5 * gap_half / jnp.maximum(alpha, jnp.finfo(H.dtype).tiny),
+            16 * eps, 0.9,
+        )
+        i0 = jnp.arange(B)
+        v_probe = jnp.where(i0 < b, G_seed[:, 0], 0)
+        S = _sign_halley(X, eye_b, full_eye, l0, v_probe)
         P_minus = 0.5 * (eye_b - S)  # projector onto eigenvalues < sigma
         rank_minus = jnp.round(jnp.trace(P_minus)).astype(jnp.int32)
-        rank_plus = b.astype(jnp.int32) - rank_minus
-        swap = rank_plus < rank_minus
-        P_sel = jnp.where(swap, eye_b - P_minus, P_minus)
-        r_sel = jnp.where(swap, rank_plus, rank_minus)
-        r_oth = b.astype(jnp.int32) - r_sel
 
+        # Combined-basis extraction: one square sketch Y whose first
+        # `rank_minus` columns sample range(P) and the rest range(I-P),
+        # orthonormalized TOGETHER by shifted CholeskyQR3. The two column
+        # blocks are orthogonal subspaces in exact arithmetic, so one chain
+        # of full-width passes yields the complete ordered [V_minus|V_plus]
+        # transform with eps-level mutual orthogonality built in — no
+        # per-block CholQR chains, no deflation corrections. This halves
+        # the extraction cost relative to the two-basis scheme (measured:
+        # the separate V1/V2 path spent ~1s per 4608-level vs ~0.44s here).
         i = jnp.arange(B)
-        Y1 = jnp.where(i[None, :] < r_sel, P_sel @ G_seed, 0)
-        V1 = _orth_cols(Y1, r_sel, shift_rel)
-        Y2 = (eye_b - P_sel) @ G_seed
-        Y2 = Y2 - V1 @ (V1.T @ Y2)  # deflate: exact mutual orthogonality
-        Y2 = jnp.where(i[None, :] < r_oth, Y2, 0)
-        V2 = _orth_cols(Y2, r_oth, shift_rel)
+        M = P_minus @ G_seed
+        Y = jnp.where(i[None, :] < rank_minus, M, G_seed - M)
+        Y = jnp.where((i[:, None] < b) & (i[None, :] < b), Y, 0)
+        W = _orth_cols(Y, b.astype(jnp.int32), shift_rel)
+        # One Newton-Schulz polar polish: exactly-r columns sketching an
+        # r-dim subspace form a SQUARE Gaussian within it, whose kappa ~ O(n)
+        # tail leaves the CholQR chain at ~1e-4 orthogonality in f32. The NS
+        # step contracts that quadratically (e -> 1.5 e^2), and since W^T W's
+        # deviation is block-local up to the sign residual, the column-space
+        # split is preserved.
+        eye_w = _masked_eye(B, b, H.dtype)
+        W = W @ (1.5 * eye_w - 0.5 * (W.T @ W))
 
-        # Re-deflate and lightly re-orthonormalize: the CholeskyQR passes'
-        # R^{-1} amplifies the first deflation's float residual by kappa(Y2)
-        # (measured ~6e-4 mutual orthogonality at f32). After this projection
-        # V2 is eps-orthogonal to V1 and near-orthonormal (kappa ~ 1), so one
-        # unshifted pass restores orthonormality without re-amplification.
-        V2 = V2 - V1 @ (V1.T @ V2)
-        V2 = _cholqr_pass(V2, r_oth, 0.0)
-
-        Vm = jnp.where(swap, V2, V1)  # spans the below-split eigenspace
-        Vp = jnp.where(swap, V1, V2)
-        Hm = (Vm.T @ H) @ Vm
-        Hp = (Vp.T @ H) @ Vp
-        W = _dyn_concat_cols(Vm, Vp, rank_minus)
+        # Congruence in one shot: T = W^T H W is block-diagonal up to the
+        # O(theta^2) sign-residual coupling that the split drops anyway.
+        T = W.T @ (H @ W)
+        Hm = jnp.where(
+            (i[:, None] < rank_minus) & (i[None, :] < rank_minus), T, 0
+        )
+        Tp = jnp.pad(T, ((0, B), (0, B)))
+        r0 = rank_minus.astype(jnp.int32)
+        Hp = jax.lax.dynamic_slice(Tp, (r0, r0), (B, B))
+        bp = b.astype(jnp.int32) - r0
+        Hp = jnp.where((i[:, None] < bp) & (i[None, :] < bp), Hp, 0)
         return Hm, Hp, W, rank_minus
 
     with jax.default_matmul_precision("float32"):
-        return jax.vmap(one)(subH, sizes, split_points)
+        return jax.vmap(one)(subH, sizes, split_points, gap_halves)
 
 
 @jax.jit
@@ -437,7 +526,6 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
     dtype = stacks[0].dtype
     if any(s.dtype != dtype for s in stacks):
         raise ValueError("all stacks must share one dtype; pool per dtype")
-    nq, nc = _sign_schedule(dtype)
     shift_rel = _SHIFT_REL.get(jnp.dtype(dtype).name, 1e-3)
 
     sym = [(s + jnp.swapaxes(s, 1, 2)) / 2 for s in stacks]
@@ -494,6 +582,11 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                 )
             return level_L[ci]
 
+        # ---- phase A: gather + dispatch base-eigh and classify per group ---
+        # All device work is queued asynchronously; the flag readbacks in
+        # phase B then overlap compute ACROSS groups instead of stalling on
+        # each group in turn (the axon tunnel charges ~30ms per host sync).
+        pend = []
         for (is_base, Bk), recs in sorted(
             groups.items(), key=lambda kv: (-kv[0][1], kv[0][0])
         ):
@@ -538,8 +631,18 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                 G_cache[("ritz", Bk)] = jax.random.normal(
                     jax.random.key(7), (Bk, _RITZ_DIM), dtype
                 )
-            done, medians = _classify(subH, sizes, H0n, G_cache[("ritz", Bk)])
-            done = np.asarray(done)[:m]  # sync 1: early-exit flags
+            done_d, sigmas, gap_halves = _classify(
+                subH, sizes, H0n, G_cache[("ritz", Bk)]
+            )
+            pend.append(
+                (Bk, recs, m, subH, sizes_h, sizes, done_d, sigmas, gap_halves)
+            )
+
+        # ---- phase B: read flags; queue done-value scatters and splits ------
+        splits = []
+        for (Bk, recs, m, subH, sizes_h, sizes, done_d, sigmas,
+             gap_halves) in pend:
+            done = np.asarray(done_d)[:m]  # sync 1 (pipelined across groups)
 
             idx_done = np.flatnonzero(done)
             idx_act = np.flatnonzero(~done)
@@ -578,7 +681,8 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
             ma_pad = _pow2_ceil(ma)
             rows_act = list(idx_act)
             subH_a = _padded_take(subH, rows_act)
-            med_a = _padded_take(medians, rows_act)
+            sig_a = _padded_take(sigmas, rows_act)
+            gap_a = _padded_take(gap_halves, rows_act)
             sizes_a = jnp.asarray(
                 np.concatenate([sizes_h[idx_act], np.ones(ma_pad - ma)]),
                 jnp.int32,
@@ -588,10 +692,15 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                     jax.random.key(20260816), (Bk, Bk), dtype
                 )
             Hm, Hp, W, ranks = _split_v2(
-                subH_a, sizes_a, med_a, G_cache[Bk],
-                nq=nq, nc=nc, shift_rel=shift_rel,
+                subH_a, sizes_a, sig_a, gap_a, G_cache[Bk],
+                shift_rel=shift_rel,
             )
-            ranks = np.asarray(ranks)[:ma].astype(np.int64)  # sync 2
+            splits.append((Bk, recs, idx_act, subH_a, Hm, Hp, W, ranks))
+
+        # ---- phase C: read ranks; scatter transforms; emit children ---------
+        for Bk, recs, idx_act, subH_a, Hm, Hp, W, ranks_d in splits:
+            ranks = np.asarray(ranks_d)[: idx_act.size].astype(np.int64)
+            # ^ sync 2 (pipelined across groups)
 
             new_blockstore[("m", Bk)] = Hm
             new_blockstore[("p", Bk)] = Hp
