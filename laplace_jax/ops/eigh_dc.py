@@ -43,6 +43,9 @@ import jax.numpy as jnp
 import numpy as np
 
 _DEBUG = bool(os.environ.get("EIGH_DC_DEBUG"))
+# "2" additionally forces a full device sync at every level boundary to
+# attribute wall time per level (the async level timestamps don't)
+_DEBUG_SYNC = os.environ.get("EIGH_DC_DEBUG") == "2"
 
 __all__ = ["eigh_stack_dc", "eigh_pooled_dc"]
 
@@ -231,26 +234,33 @@ _RITZ_DIM = 128  # random-compression size for the split-point estimate
 
 @jax.jit
 def _classify(subH: jnp.ndarray, sizes: jnp.ndarray, H0norms: jnp.ndarray,
-              G_ritz: jnp.ndarray):
+              G_ritz: jnp.ndarray, q_target: jnp.ndarray):
     """Early-exit flags and split points.
 
     Early exits mirror the nearly-diagonal / tiny-norm termination of XLA's
     `recursive_case` (Nakatsukasa & Higham 5.2): blocks whose off-diagonal is
     numerical noise are finalized with their diagonal as eigenvalues.
 
-    The split point comes from the RITZ VALUES of a random s-dimensional
-    compression (generalized pencil (G'HG, G'G) so masking needs no
-    re-orthonormalization): the midpoint between the two central Ritz
-    values. XLA splits at the median of the DIAGONAL, which for the
-    heavy-tailed spectra of KFAC factors concentrates at trace/n and peels
-    off only a few eigenvalues per level — LINEAR recursion depth
-    (measured: ~150 eigenvalues per split on e^-12-decay Gram factors) —
-    while the Ritz median tracks the true eigenvalue median (logarithmic
-    depth, and balanced splits minimize total recursion FLOPs). The
-    straddling Ritz spacing is also returned as an (optimistic) initial
-    lower bound for the sign iteration."""
+    The split point is the Ritz value of a random s-dimensional compression
+    (generalized pencil (G'HG, G'G), so masking needs no
+    re-orthonormalization) at an ADAPTIVE quantile `q`. Ritz quantiles of a
+    random compression are biased upward on heavy-tailed spectra (Rayleigh
+    quotients mix in trace-dominating eigenvalues; measured: the Ritz
+    median lands at the 75th true percentile on exp-decay Gram factors),
+    and no fixed algebraic correction exists (harmonic/inverse pencils of
+    the same subspace carry the same information; high-degree Krylov
+    compressions break down in f32). Instead the DRIVER feeds back the
+    exact split fractions it already reads (rank = trace of the spectral
+    projector) and retargets q multiplicatively toward true-median splits
+    — self-correcting within a decompose call, bounded by clipping.
+    Balanced splits minimize total recursion FLOPs (1.33x the first level
+    at 50/50 vs 1.8x at 25/75); XLA's own median-of-diagonal peels only a
+    few eigenvalues per level on such spectra (LINEAR depth, measured
+    ~150/split). Also returns the straddling Ritz spacing (sign-iteration
+    bound seed) and a Ritz-extreme spectral-radius estimate that replaces
+    the up-to-sqrt(n) loose 1-norm bound in the split normalization."""
 
-    def one(H, b, H0n):
+    def one(H, b, H0n, q):
         H = _masked(H, b)
         eps = jnp.finfo(H.dtype).eps
         norm = jnp.linalg.norm(H)
@@ -259,36 +269,46 @@ def _classify(subH: jnp.ndarray, sizes: jnp.ndarray, H0norms: jnp.ndarray,
         done = (off <= 5 * eps * norm) | (norm < eps * H0n)
 
         Gm = jnp.where(jnp.arange(H.shape[0])[:, None] < b, G_ritz, 0)
-        A_s = Gm.T @ (H @ Gm)
+        HG = H @ Gm
+        A_s = Gm.T @ HG
         B_s = Gm.T @ Gm
         s = A_s.shape[0]
-        # rank(B_s) = min(b, s): real lanes always have b > termination > s,
-        # but PADDING lanes (b = 1) would hand Cholesky a rank-1 pencil; a
-        # full-strength shift there keeps it PD (their outputs are unused)
-        shift = jnp.where(
-            b >= s, 10 * eps * jnp.trace(B_s) / s, jnp.asarray(1.0, H.dtype)
-        )
-        B_s = B_s + shift * jnp.eye(s, dtype=H.dtype)
-        L = jnp.linalg.cholesky(B_s)
-        C = jax.lax.linalg.triangular_solve(L, A_s, left_side=True, lower=True)
-        C = jax.lax.linalg.triangular_solve(L, C.T, left_side=True, lower=True)
-        ritz = jnp.linalg.eigvalsh(C)  # ascending
-        # Split at the Ritz MEDIAN: balanced splits minimize total recursion
-        # FLOPs (sum over levels = 1.33x the first level at 50/50 vs 1.8x at
-        # 25/75 — max-gap selection was measured to produce exactly such
-        # lopsided splits on decaying Gram spectra). The straddling Ritz
-        # spacing still seeds the sign iteration's lower bound.
-        mid = s // 2
-        sigma = 0.5 * (ritz[mid - 1] + ritz[mid])
-        return done, sigma, 0.5 * (ritz[mid] - ritz[mid - 1])
+
+        def pencil_eigs(A_p, B_p, pd_floor):
+            # rank(B) = min(b, s): real lanes always have b > termination
+            # > s, but PADDING lanes (b = 1) would hand Cholesky a rank-1
+            # pencil; a full-strength shift keeps it PD (outputs unused)
+            tr = jnp.trace(B_p) / s
+            shift = jnp.where(b >= s, pd_floor * tr, tr + 1.0)
+            Bs = B_p + shift * jnp.eye(s, dtype=H.dtype)
+            L = jnp.linalg.cholesky(Bs)
+            C = jax.lax.linalg.triangular_solve(
+                L, A_p, left_side=True, lower=True
+            )
+            C = jax.lax.linalg.triangular_solve(
+                L, C.T, left_side=True, lower=True
+            )
+            return jnp.linalg.eigvalsh(C)  # ascending
+
+        ritz = pencil_eigs(A_s, B_s, 10 * eps)
+        idx = jnp.clip((q * s).astype(jnp.int32), 1, s - 1)
+        r_lo = jax.lax.dynamic_index_in_dim(ritz, idx - 1, keepdims=False)
+        r_hi = jax.lax.dynamic_index_in_dim(ritz, idx, keepdims=False)
+        sigma = 0.5 * (r_lo + r_hi)
+        gap_half = 0.5 * (r_hi - r_lo)
+        alpha_est = 1.25 * jnp.maximum(ritz[-1] - sigma, sigma - ritz[0])
+        return done, sigma, gap_half, alpha_est
 
     with jax.default_matmul_precision("float32"):
-        return jax.vmap(one)(subH, sizes, H0norms)
+        q_b = jnp.broadcast_to(jnp.asarray(q_target, subH.dtype),
+                               (subH.shape[0],))
+        return jax.vmap(one)(subH, sizes, H0norms, q_b)
 
 
 @functools.partial(jax.jit, static_argnames=("shift_rel",))
 def _split_v2(subH: jnp.ndarray, sizes: jnp.ndarray, split_points: jnp.ndarray,
-              gap_halves: jnp.ndarray, G_seed: jnp.ndarray, shift_rel: float):
+              gap_halves: jnp.ndarray, alpha_ests: jnp.ndarray,
+              G_seed: jnp.ndarray, shift_rel: float):
     """One vmapped divide step on a (m, B, B) stack of padded blocks.
 
     Matmul/cholesky-only spectral split: weighted-Halley sign of the shifted
@@ -301,7 +321,7 @@ def _split_v2(subH: jnp.ndarray, sizes: jnp.ndarray, split_points: jnp.ndarray,
     B = subH.shape[-1]
     full_eye = jnp.eye(B, dtype=subH.dtype)
 
-    def one(H, b, sigma, gap_half):
+    def one(H, b, sigma, gap_half, alpha_est):
         H = _masked(H, b)
         eps = jnp.finfo(H.dtype).eps
         eye_b = _masked_eye(B, b, H.dtype)
@@ -309,8 +329,12 @@ def _split_v2(subH: jnp.ndarray, sizes: jnp.ndarray, split_points: jnp.ndarray,
         # (matmul precision forced to true f32 by the caller's context: TPU's
         # default reduced-precision matmuls would cap the sign accuracy at
         # bf16 level, exactly as jax's own eigh forces 'float32')
-        # symmetric: ||X||_2 <= ||X||_1 = ||X||_inf
-        alpha = jnp.max(jnp.sum(jnp.abs(X), axis=0))
+        # symmetric: ||X||_2 <= ||X||_1 = ||X||_inf; prefer the classifier's
+        # Ritz-extreme estimate when finite — the 1-norm overestimates by up
+        # to sqrt(n), which shrinks l0 and costs extra Halley ramp steps
+        alpha1 = jnp.max(jnp.sum(jnp.abs(X), axis=0))
+        ok = jnp.isfinite(alpha_est) & (alpha_est > 0)
+        alpha = jnp.where(ok, jnp.minimum(alpha1, alpha_est), alpha1)
         X = jnp.where(alpha > 0, X / alpha, X)
         # spectral lower bound from the Ritz gap, halved for safety (true
         # eigenvalues can sit inside a Ritz gap); the sign iteration's
@@ -362,7 +386,7 @@ def _split_v2(subH: jnp.ndarray, sizes: jnp.ndarray, split_points: jnp.ndarray,
         return Hm, Hp, W, rank_minus
 
     with jax.default_matmul_precision("float32"):
-        return jax.vmap(one)(subH, sizes, split_points, gap_halves)
+        return jax.vmap(one)(subH, sizes, split_points, gap_halves, alpha_ests)
 
 
 @jax.jit
@@ -437,6 +461,7 @@ def _scatter_vals(buf: jnp.ndarray, vals: jnp.ndarray, col_base: jnp.ndarray,
 
 _TERMINATION = 256
 _BUCKET = 128  # TPU lane width; tighter padding than 256 for odd sizes
+_Q_STATE = {"q": 0.35}  # adaptive split quantile, persisted across calls
 # condition bound for the first (shifted) CholeskyQR pass; see _orth_cols
 _SHIFT_REL = {"float32": 1e-3, "float64": 1e-9}
 
@@ -546,6 +571,13 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
     G_cache: dict = {}
 
     level = 0
+    # Adaptive Ritz split quantile (see _classify), retargeted from the
+    # exact split fractions read back each level. Persisted across calls:
+    # level 1 has no feedback yet, and decompose is typically called
+    # repeatedly on same-family spectra (every fit / online update), so the
+    # learned value from the last call is the best available prior. The
+    # 0.35 cold-start is the empirical bias of decaying PSD Gram spectra.
+    q_run = _Q_STATE["q"]
     while records:
         level += 1
         # ---- group by (terminal?, bucket width) -------------------------
@@ -631,17 +663,19 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                 G_cache[("ritz", Bk)] = jax.random.normal(
                     jax.random.key(7), (Bk, _RITZ_DIM), dtype
                 )
-            done_d, sigmas, gap_halves = _classify(
-                subH, sizes, H0n, G_cache[("ritz", Bk)]
+            done_d, sigmas, gap_halves, alpha_ests = _classify(
+                subH, sizes, H0n, G_cache[("ritz", Bk)],
+                jnp.asarray(q_run, dtype),
             )
             pend.append(
-                (Bk, recs, m, subH, sizes_h, sizes, done_d, sigmas, gap_halves)
+                (Bk, recs, m, subH, sizes_h, sizes, done_d, sigmas,
+                 gap_halves, alpha_ests)
             )
 
         # ---- phase B: read flags; queue done-value scatters and splits ------
         splits = []
         for (Bk, recs, m, subH, sizes_h, sizes, done_d, sigmas,
-             gap_halves) in pend:
+             gap_halves, alpha_ests) in pend:
             done = np.asarray(done_d)[:m]  # sync 1 (pipelined across groups)
 
             idx_done = np.flatnonzero(done)
@@ -683,6 +717,7 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
             subH_a = _padded_take(subH, rows_act)
             sig_a = _padded_take(sigmas, rows_act)
             gap_a = _padded_take(gap_halves, rows_act)
+            alp_a = _padded_take(alpha_ests, rows_act)
             sizes_a = jnp.asarray(
                 np.concatenate([sizes_h[idx_act], np.ones(ma_pad - ma)]),
                 jnp.int32,
@@ -692,15 +727,20 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                     jax.random.key(20260816), (Bk, Bk), dtype
                 )
             Hm, Hp, W, ranks = _split_v2(
-                subH_a, sizes_a, sig_a, gap_a, G_cache[Bk],
+                subH_a, sizes_a, sig_a, gap_a, alp_a, G_cache[Bk],
                 shift_rel=shift_rel,
             )
             splits.append((Bk, recs, idx_act, subH_a, Hm, Hp, W, ranks))
 
         # ---- phase C: read ranks; scatter transforms; emit children ---------
+        frac_num = frac_den = 0
         for Bk, recs, idx_act, subH_a, Hm, Hp, W, ranks_d in splits:
             ranks = np.asarray(ranks_d)[: idx_act.size].astype(np.int64)
             # ^ sync 2 (pipelined across groups)
+            for j, gi in enumerate(idx_act):
+                if 0 < ranks[j] < recs[gi].size:
+                    frac_num += int(ranks[j])
+                    frac_den += int(recs[gi].size)
 
             new_blockstore[("m", Bk)] = Hm
             new_blockstore[("p", Bk)] = Hp
@@ -755,10 +795,37 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
                     _Record(rec.cls, rec.mat, rec.off + r, b - r, ("p", Bk), j)
                 )
 
+        # ---- adapt the split quantile from this level's exact fractions ----
+        if frac_den:
+            a = frac_num / frac_den
+            q_run = float(np.clip(q_run * 0.5 / max(a, 0.05), 0.08, 0.92))
+            _Q_STATE["q"] = q_run
+            if _DEBUG:
+                import sys as _sys
+
+                print(
+                    f"[eigh_dc]   split fraction {a:.2f} -> q={q_run:.2f}",
+                    file=_sys.stderr, flush=True,
+                )
+
         # ---- compose this level's transforms into the running bases -----
         with jax.default_matmul_precision("float32"):
             for ci, L in level_L.items():
                 V_accs[ci] = L if V_accs[ci] is None else V_accs[ci] @ L
+
+        if _DEBUG_SYNC:
+            import sys as _sys
+            import time as _time
+
+            for ci in range(len(sym)):
+                if V_accs[ci] is not None:
+                    np.asarray(V_accs[ci][0, 0, 0])
+                np.asarray(vals_bufs[ci][0])
+            print(
+                f"[eigh_dc]   level {level} fully synced "
+                f"t={_time.strftime('%H:%M:%S')}+{_time.time() % 1:.2f}",
+                file=_sys.stderr, flush=True,
+            )
 
         records = next_records
         blockstore = new_blockstore
