@@ -198,6 +198,13 @@ class LLLaplace(ParametricLaplace):
         return state_dict
 
     def load_state_dict(self, state_dict: dict) -> None:
+        if "_last_layer_name" not in state_dict:
+            # a non-last-layer state dict (reference raises the same way via
+            # its cls-name check, `baselaplace.py:1526-1532`)
+            raise ValueError(
+                "Loading a wrong Laplace type. Make sure `subset_of_weights` "
+                "and `hessian_structure` are correct!"
+            )
         if self._last_layer_name != state_dict["_last_layer_name"]:
             raise ValueError("Different `last_layer_name` detected!")
         data = state_dict["data"]

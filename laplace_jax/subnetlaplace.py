@@ -123,6 +123,30 @@ class SubnetLaplace(ParametricLaplace):
         )
         return full.at[:, self.subnetwork_indices].set(subnet_samples)
 
+    def state_dict(self) -> dict:
+        sd = super().state_dict()
+        sd["subnetwork_indices"] = self.subnetwork_indices
+        return sd
+
+    def load_state_dict(self, state_dict: dict) -> None:
+        idx = state_dict.get("subnetwork_indices")
+        if idx is None:
+            raise ValueError(
+                "Loading a wrong Laplace type. Make sure `subset_of_weights` "
+                "and `hessian_structure` are correct!"
+            )
+        idx = np.asarray(idx)
+        mine = np.asarray(self.subnetwork_indices)
+        if idx.shape != mine.shape or not np.array_equal(idx, mine):
+            raise ValueError(
+                "Different `subnetwork_indices` detected! The posterior is "
+                "only valid for the index set it was fitted with."
+            )
+        state_dict = {
+            k: v for k, v in state_dict.items() if k != "subnetwork_indices"
+        }
+        super().load_state_dict(state_dict)
+
 
 class FullSubnetLaplace(SubnetLaplace, FullLaplace):
     """Dense subnet posterior (reference `subnetlaplace.py:174-204`)."""
