@@ -65,6 +65,21 @@ def marglik_training(
     `optimizer` is an optax GradientTransformation (default `optax.adam`), or
     None with `optimizer_kwargs` (e.g. `{"learning_rate": 1e-3}`).
     """
+    # torch modules carry their parameters, so the reference accepts a bare
+    # model; match that ergonomics for flax modules by initializing from the
+    # first batch when no params are given.
+    if params is None and not isinstance(model, NNModel):
+        try:
+            import flax.linen as fnn
+
+            if isinstance(model, fnn.Module):
+                data = next(iter(train_loader))
+                X = data[dict_key_x] if isinstance(data, dict) else data[0]
+                params = model.init(
+                    jax.random.key(0), jnp.asarray(np.asarray(X)[:1])
+                )
+        except ImportError:
+            pass
     nnm = NNModel.wrap(model, params)
     N = dataset_size(train_loader)
     theta = tree_to_vector(nnm.train_params)

@@ -1,0 +1,112 @@
+"""Metric and validation-loop oracles (reference `utils/metrics.py:6-43`,
+`utils/utils.py:35-101`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from laplace_jax import FullLaplace
+from laplace_jax.nnmodel import NNModel
+from laplace_jax.utils.data import ArrayLoader
+from laplace_jax.utils.metrics import (
+    RunningMSEMetric,
+    RunningNLLMetric,
+    expected_calibration_error,
+    get_nll,
+)
+from laplace_jax.utils.validate import validate
+
+
+def test_running_nll_matches_manual():
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((20, 4))
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    y = rng.integers(0, 4, size=20)
+    m = RunningNLLMetric()
+    m.update(jnp.asarray(probs[:12]), jnp.asarray(y[:12]))
+    m.update(jnp.asarray(probs[12:]), jnp.asarray(y[12:]))
+    manual = -np.log(probs[np.arange(20), y]).mean()
+    assert m.compute() == pytest.approx(manual, rel=1e-6)
+
+
+def test_running_nll_ignore_index():
+    probs = np.full((6, 2), 0.5)
+    y = np.array([0, 1, -100, 0, -100, 1])
+    m = RunningNLLMetric(ignore_index=-100)
+    m.update(jnp.asarray(probs), jnp.asarray(y))
+    assert m.n_valid == 4
+    assert m.compute() == pytest.approx(np.log(2.0), rel=1e-6)
+
+
+def test_running_nll_sequence_shapes():
+    # (batch, seq, classes) LLM-style inputs flatten
+    probs = np.full((2, 3, 2), 0.5)
+    y = np.array([[0, 1, -100], [1, -100, 0]])
+    m = RunningNLLMetric()
+    m.update(jnp.asarray(probs), jnp.asarray(y))
+    assert m.n_valid == 4
+
+
+def test_running_mse():
+    rng = np.random.default_rng(1)
+    mu = rng.standard_normal((10, 3))
+    y = rng.standard_normal((10, 3))
+    m = RunningMSEMetric()
+    m.update(jnp.asarray(mu[:4]), jnp.asarray(y[:4]))
+    m.update(jnp.asarray(mu[4:]), jnp.asarray(y[4:]))
+    manual = ((mu - y) ** 2).sum() / 10
+    assert m.compute() == pytest.approx(manual, rel=1e-6)
+
+
+def test_get_nll():
+    probs = np.array([[0.9, 0.1], [0.2, 0.8]])
+    y = np.array([0, 1])
+    expected = -(np.log(0.9) + np.log(0.8)) / 2
+    assert float(get_nll(jnp.asarray(probs), jnp.asarray(y))) == pytest.approx(
+        expected, rel=1e-6
+    )
+
+
+def test_ece_confident_correct_is_zero():
+    probs = np.eye(3)[np.array([0, 1, 2, 0, 1])] * 0.999 + 1e-4
+    probs /= probs.sum(-1, keepdims=True)
+    y = np.array([0, 1, 2, 0, 1])
+    assert expected_calibration_error(probs, y) < 5e-3
+
+
+def test_ece_overconfident_wrong_is_large():
+    probs = np.tile(np.array([[0.99, 0.01]]), (10, 1))
+    y = np.ones(10, dtype=int)  # always wrong
+    assert expected_calibration_error(probs, y) > 0.9
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3)(nn.tanh(nn.Dense(8)(x)))
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((24, 4))
+    y = rng.integers(0, 3, size=24)
+    m = M()
+    params = m.init(jax.random.key(0), jnp.asarray(X[:1]))
+    la = FullLaplace(NNModel.from_flax(m, params), "classification")
+    loader = ArrayLoader(X, y, batch_size=8)
+    la.fit(loader)
+    return la, loader
+
+
+def test_validate_online_equals_offline(fitted):
+    la, loader = fitted
+    online = validate(la, loader, RunningNLLMetric())
+
+    def offline(probs, targets):
+        return get_nll(probs, targets)
+
+    off = validate(la, loader, offline)
+    assert online == pytest.approx(off, rel=1e-6)
