@@ -995,8 +995,12 @@ class KronLaplace(ParametricLaplace):
             )
             self.H_facs = self.H_facs + self.H
 
-        # decompose for inference; keep H_facs for further online updates
-        self.H = self.H_facs.decompose(damping=self.damping)
+        # decompose for inference; keep H_facs for further online updates.
+        # Under a DataParallel mesh the independent per-factor eigh problems
+        # spread across its devices (the epilogue dominates single-chip fit
+        # wall time — see Kron.decompose).
+        devices = None if self.parallel is None else self.parallel.mesh
+        self.H = self.H_facs.decompose(damping=self.damping, devices=devices)
 
     @property
     def posterior_precision(self) -> KronDecomposed:

@@ -98,6 +98,15 @@ def _batched_eigh_clipped(stack: jnp.ndarray):
     return _batched_eigh_jit(stack, impl=impl)
 
 
+def _device_list(devices):
+    """Normalize a devices argument: None, a Mesh, or a device sequence."""
+    if devices is None:
+        return None
+    if hasattr(devices, "devices"):  # jax.sharding.Mesh
+        return list(np.asarray(devices.devices).ravel())
+    return list(devices)
+
+
 def _group_sizes(kfacs) -> list[int]:
     """Flattened parameter count of each factor group."""
     sizes = []
@@ -191,17 +200,34 @@ class Kron:
     def group_sizes(self) -> list[int]:
         return _group_sizes(self.kfacs)
 
-    def decompose(self, damping: bool = False) -> "KronDecomposed":
+    def decompose(self, damping: bool = False,
+                  devices=None) -> "KronDecomposed":
         """Eigendecompose each factor (reference `matrix.py:123-150`).
 
         Factors are grouped by shape; on TPU all classes at or above
-        `_DC_MIN_SIZE` are decomposed TOGETHER by the level-batched spectral
-        divide-and-conquer driver (`laplace_jax.ops.eigh_dc`), which pools
-        same-level subproblems across the whole factor set into shared
-        vmapped dispatches — XLA's own eigh would run one serial agenda per
-        factor. Remaining classes go through one batched `eigh` dispatch per
-        shape. Everything is NaN-checked with a single host sync at the end;
-        only offending factors take the jitter-retry path (`symeig`)."""
+        `_DC_MIN_SIZE` can be decomposed TOGETHER by the level-batched
+        spectral divide-and-conquer driver (`laplace_jax.ops.eigh_dc`, opt-in
+        via `EIGH_IMPLEMENTATION`), which pools same-level subproblems across
+        the whole factor set into shared vmapped dispatches — XLA's own eigh
+        would run one serial agenda per factor. Remaining classes go through
+        one batched `eigh` dispatch per shape. Everything is NaN-checked with
+        a single host sync at the end; only offending factors take the
+        jitter-retry path (`symeig`).
+
+        `devices`: optional sequence of jax devices (or a `Mesh`) to spread
+        the factor eigendecompositions over. Per-factor eigh problems are
+        INDEPENDENT, so the decompose epilogue — the wall-clock wall of a
+        KFAC fit on one chip (~5 s for ResNet-18 factors on a v5e; see
+        ROADMAP) — scales linearly with chips: factors are greedily assigned
+        to devices by n^3 cost (largest first) and dispatched asynchronously
+        via explicit placement; results are gathered back to the default
+        device. No SPMD program is involved, so heterogeneous factor shapes
+        cost nothing. With one device (or None) behavior is unchanged."""
+        dev_list = _device_list(devices)
+        if dev_list is not None and len(dev_list) > 1:
+            mesh = devices if hasattr(devices, "devices") else None
+            return self._decompose_multi_device(dev_list, damping, mesh)
+
         by_shape: dict = {}
         for gi, F in enumerate(self.kfacs):
             for fi, Hi in enumerate(F):
@@ -242,6 +268,70 @@ class Kron:
         for (gi, fi), bad in zip(flag_keys, flags):
             if bad:
                 results[(gi, fi)] = symeig(self.kfacs[gi][fi])  # jitter retry
+
+        eigvecs, eigvals = [], []
+        for gi, F in enumerate(self.kfacs):
+            Qs = tuple(results[(gi, fi)][1] for fi in range(len(F)))
+            ls = tuple(results[(gi, fi)][0] for fi in range(len(F)))
+            eigvecs.append(Qs)
+            eigvals.append(ls)
+        return KronDecomposed(tuple(eigvecs), tuple(eigvals), damping=damping)
+
+    def _decompose_multi_device(self, dev_list, damping,
+                                mesh=None) -> "KronDecomposed":
+        """Spread per-factor eigh problems over `dev_list` (see `decompose`)."""
+        # greedy longest-processing-time assignment by n^3 cost
+        items = [
+            (gi, fi, Hi)
+            for gi, F in enumerate(self.kfacs)
+            for fi, Hi in enumerate(F)
+        ]
+        items.sort(key=lambda t: -t[2].shape[0] ** 3)
+        loads = [0.0] * len(dev_list)
+        per_dev: list = [[] for _ in dev_list]
+        for gi, fi, Hi in items:
+            d = int(np.argmin(loads))
+            loads[d] += float(Hi.shape[0]) ** 3
+            per_dev[d].append((gi, fi, Hi))
+
+        # gather target: replicate over the mesh when one is given so the
+        # results compose with mesh-replicated fit state (mixing arrays
+        # committed to one device with replicated ones is a placement error)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            default = NamedSharding(mesh, PartitionSpec())
+        else:
+            default = jax.devices()[0]
+        results = {}
+        flag_parts, flag_keys = [], []
+        pending = []
+        for d, dev_items in enumerate(per_dev):
+            by_shape: dict = {}
+            for gi, fi, Hi in dev_items:
+                by_shape.setdefault(
+                    (Hi.shape, jnp.dtype(Hi.dtype)), []
+                ).append((gi, fi, Hi))
+            for (_, _dt), its in by_shape.items():
+                stack = jax.device_put(
+                    jnp.stack([Hi for _, _, Hi in its]), dev_list[d]
+                )
+                # committed input: the jitted eigh runs on that device; all
+                # dispatches are asynchronous, so devices work concurrently
+                ls, Qs, flags = _batched_eigh_clipped(stack)
+                pending.append((its, ls, Qs, flags))
+        for its, ls, Qs, flags in pending:
+            ls = jax.device_put(ls, default)
+            Qs = jax.device_put(Qs, default)
+            flag_parts.append(jax.device_put(flags, default))
+            for j, (gi, fi, _) in enumerate(its):
+                results[(gi, fi)] = (ls[j], Qs[j])
+                flag_keys.append((gi, fi))
+
+        flags = np.asarray(jnp.concatenate(flag_parts))  # ONE host sync
+        for (gi, fi), bad in zip(flag_keys, flags):
+            if bad:
+                results[(gi, fi)] = symeig(self.kfacs[gi][fi])
 
         eigvecs, eigvals = [], []
         for gi, F in enumerate(self.kfacs):
