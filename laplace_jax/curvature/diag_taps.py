@@ -121,20 +121,47 @@ def diag_curvature_taps(
             kernel_diag[t.path] = jnp.einsum("bi,cbo->io", a**2, g**2)
             bias_diag[t.path] = jnp.einsum("cbo->o", g**2)
         else:
+            groups = 1
             if t.kind == "dense":  # weight sharing over leading dims
                 a2 = t.inputs.reshape(t.inputs.shape[0], -1, t.inputs.shape[-1])
-            elif t.patches is not None:
-                a2 = t.patches.reshape(t.patches.shape[0], -1, t.patches.shape[-1])
             else:
-                a2 = conv_patches(t.inputs, t.conv_spec)
+                if t.patches is not None:
+                    a2 = t.patches.reshape(
+                        t.patches.shape[0], -1, t.patches.shape[-1]
+                    )
+                else:
+                    a2 = conv_patches(t.inputs, t.conv_spec)
+                groups = int(t.conv_spec.get("feature_group_count") or 1)
             Cp = g.shape[0]
             B = a2.shape[0]
             g2 = g.reshape(Cp, B, -1, g.shape[-1])  # (C', B, T, O)
 
-            def per_sample(args):
-                a_b, g_b = args  # (T, K), (C', T, O)
-                M = jnp.einsum("tk,cto->cko", a_b, g_b)
-                return (M**2).sum(0), (g_b.sum(1) ** 2).sum(0)
+            if groups == 1:
+
+                def per_sample(args):
+                    a_b, g_b = args  # (T, K), (C', T, O)
+                    M = jnp.einsum("tk,cto->cko", a_b, g_b)
+                    return (M**2).sum(0), (g_b.sum(1) ** 2).sum(0)
+
+            else:
+                # grouped conv: out channel o (group-major blocks) pairs
+                # only with its group's patches; the per-sample kernel grad
+                # is exact per (group, k, o-within-group)
+                from laplace_jax.curvature.kfac import group_patches
+
+                ksize = t.conv_spec["kernel_size"]
+                opg = g.shape[-1] // groups
+                a2 = group_patches(a2, ksize, groups)  # (B, T, G, Kg)
+
+                def per_sample(args):
+                    a_b, g_b = args  # (T, G, Kg), (C', T, O)
+                    g_g = g_b.reshape(g_b.shape[0], g_b.shape[1], groups, opg)
+                    M = jnp.einsum("tgk,ctgo->cgko", a_b, g_g)
+                    dK = (M**2).sum(0)  # (G, Kg, opg)
+                    dK = jnp.moveaxis(dK, 0, 1).reshape(
+                        dK.shape[1], groups * opg
+                    )
+                    return dK, (g_b.sum(1) ** 2).sum(0)
 
             dK, dB = jax.lax.map(
                 per_sample, (a2, jnp.swapaxes(g2, 0, 1)), batch_size=8

@@ -33,7 +33,23 @@ import jax.numpy as jnp
 from laplace_jax.enums import Likelihood
 from laplace_jax.utils.matrix import Kron
 
-__all__ = ["kfac_factors", "conv_patches"]
+__all__ = ["kfac_factors", "conv_patches", "group_patches"]
+
+
+def group_patches(patches: jnp.ndarray, ksize, groups: int) -> jnp.ndarray:
+    """Regroup a (..., kh*kw*cin) patch feature axis (layout (kh, kw, cin)
+    row-major, cin in consecutive groups — XLA conv group semantics) into
+    (..., groups, kh*kw*cin_per_group), each group matching the grouped-conv
+    kernel flatten (kh, kw, cin/groups)."""
+    kprod = 1
+    for k in ksize:
+        kprod *= int(k)
+    cin = patches.shape[-1] // kprod
+    cpg = cin // groups
+    lead = patches.shape[:-1]
+    p = patches.reshape(*lead, kprod, groups, cpg)
+    p = jnp.moveaxis(p, -2, len(lead))
+    return p.reshape(*lead, groups, kprod * cpg)
 
 
 def conv_patches(inputs: jnp.ndarray, spec: dict) -> jnp.ndarray:
@@ -244,7 +260,17 @@ def kfac_factors(
             else:
                 patches = conv_patches(t.inputs, t.conv_spec)
             T = patches.shape[1]
-            A = jnp.einsum("btk,btl->kl", patches, patches) / (N * T)
+            groups = int(t.conv_spec.get("feature_group_count") or 1)
+            if groups == 1:
+                A = jnp.einsum("btk,btl->kl", patches, patches) / (N * T)
+            else:
+                # grouped conv: each output channel sees only its group's
+                # patches; the shared-A Kronecker approximation averages the
+                # per-group patch Grams, i.e. (t, group) is the
+                # weight-sharing axis (T_eff = T*groups). Reduces to the
+                # ungrouped formula at groups=1.
+                pg = group_patches(patches, t.conv_spec["kernel_size"], groups)
+                A = jnp.einsum("btgk,btgl->kl", pg, pg) / (N * T * groups)
         A_facs[t.path] = A
 
     # ---- assemble Kron groups in canonical leaf order -----------------------

@@ -273,8 +273,7 @@ class NNModel:
                 feature_group_count=module.feature_group_count,
             )
             rewritable = (
-                module.feature_group_count == 1
-                and module.input_dilation in (None, 1)
+                module.input_dilation in (None, 1)
                 and getattr(module, "mask", None) is None
                 and (
                     not isinstance(module.padding, str)
@@ -289,7 +288,22 @@ class NNModel:
                     kdil = (kdil or 1,) * len(ksize)
                 patches = im2col(a, ksize, strides, module.padding, tuple(kdil))
                 kernel = module.get_variable("params", "kernel")
-                out = patches @ kernel.reshape(-1, kernel.shape[-1])
+                groups = int(module.feature_group_count or 1)
+                if groups == 1:
+                    out = patches @ kernel.reshape(-1, kernel.shape[-1])
+                else:
+                    # grouped conv as blocked matmul: patches laid out
+                    # (..., kh, kw, cin) regroup to (..., g, kh*kw*cpg)
+                    # matching the kernel flatten (kh, kw, cpg); XLA conv
+                    # output channels are group-major, so the reshape back
+                    # restores the native ordering.
+                    from laplace_jax.curvature.kfac import group_patches
+
+                    pg = group_patches(patches, ksize, groups)
+                    cout = kernel.shape[-1]
+                    k_r = kernel.reshape(-1, groups, cout // groups)
+                    out = jnp.einsum("...gk,kgo->...go", pg, k_r)
+                    out = out.reshape(*out.shape[:-2], cout)
                 if module.has_variable("params", "bias"):
                     out = out + module.get_variable("params", "bias")
                 if module.dtype is not None:
