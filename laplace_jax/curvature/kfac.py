@@ -64,6 +64,17 @@ def conv_patches(inputs: jnp.ndarray, spec: dict) -> jnp.ndarray:
     ksize = tuple(spec["kernel_size"])
     nspatial = len(ksize)
     c_in = inputs.shape[-1]
+    pad = spec["padding"]
+    if isinstance(pad, str) and pad.upper() == "CIRCULAR":
+        # lax's patch extractor has no circular mode; the slice-based im2col
+        # does, and already emits the (kh, kw, cin) feature order
+        from laplace_jax.ops.im2col import im2col
+
+        kdil = spec.get("kernel_dilation")
+        if kdil is None or isinstance(kdil, int):
+            kdil = (kdil or 1,) * nspatial
+        p = im2col(inputs, ksize, tuple(spec["strides"]), pad, tuple(kdil))
+        return p.reshape(p.shape[0], -1, p.shape[-1])
     lhs_spec = "N" + "HWD"[:nspatial] + "C"
     rhs_spec = "HWD"[:nspatial] + "IO"
     def _norm_dilation(d):

@@ -277,7 +277,7 @@ class NNModel:
                 and getattr(module, "mask", None) is None
                 and (
                     not isinstance(module.padding, str)
-                    or module.padding.upper() in ("SAME", "VALID")
+                    or module.padding.upper() in ("SAME", "VALID", "CIRCULAR")
                 )
             )
             if rewritable:

@@ -71,11 +71,19 @@ def im2col(x: jnp.ndarray, ksize, strides, padding, dilation=None) -> jnp.ndarra
     strides = tuple(strides)
     dilation = tuple(dilation) if dilation else (1,) * nspatial
     in_shape = x.shape[1:-1]
-    pads = resolve_padding(padding, in_shape, ksize, strides, dilation)
+    pad_mode = "constant"
+    if isinstance(padding, str) and padding.upper() == "CIRCULAR":
+        # flax CIRCULAR semantics: wrap-pad by the dilated kernel extent,
+        # then VALID (flax `linear.py` Conv handles CIRCULAR the same way)
+        eff_k = [d * (k - 1) + 1 for k, d in zip(ksize, dilation)]
+        pads = [((e - 1) // 2, e // 2) for e in eff_k]
+        pad_mode = "wrap"
+    else:
+        pads = resolve_padding(padding, in_shape, ksize, strides, dilation)
     out_shape = conv_output_shape(in_shape, ksize, strides, pads, dilation)
 
     pad_widths = [(0, 0)] + list(pads) + [(0, 0)]
-    xp = jnp.pad(x, pad_widths)
+    xp = jnp.pad(x, pad_widths, mode=pad_mode)
     B, C = x.shape[0], x.shape[-1]
 
     # iterate over kernel offsets row-major; each offset is one strided slice

@@ -129,3 +129,46 @@ def test_depthwise_conv_full_groups(data):
     la = DiagLaplace(nnm, "classification")
     la.fit(ArrayLoader(np.asarray(X), np.asarray(y), batch_size=8))
     assert np.isfinite(float(la.log_marginal_likelihood()))
+
+
+class CircularCNN(nn.Module):
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(6, (3, 3), padding="CIRCULAR",
+                    feature_group_count=self.groups)(x)
+        x = jnp.tanh(x)
+        return nn.Dense(3)(x.reshape(x.shape[0], -1))
+
+
+@pytest.mark.parametrize("groups", [1, 2])
+def test_circular_padding_rewrite(data, groups):
+    X, y = data
+    m = CircularCNN(groups=groups)
+    params = m.init(jax.random.key(0), jnp.ones((1, 6, 6, 4)))
+    nnm = NNModel.from_flax(m, params)
+    f_plain = nnm.module.apply(nnm.full_params(nnm.train_params), X)
+    f_taps, taps = nnm.apply_with_taps(nnm.train_params, X)
+    np.testing.assert_allclose(
+        np.asarray(f_taps), np.asarray(f_plain), rtol=1e-12, atol=1e-12
+    )
+    assert [t for t in taps if t.kind == "conv"][0].patches is not None
+
+    la = DiagLaplace(nnm, "classification")
+    la.fit(ArrayLoader(np.asarray(X), np.asarray(y), batch_size=4))
+    assert np.isfinite(float(la.log_marginal_likelihood()))
+
+    # diag exactness holds under circular padding too
+    backend = CurvatureBackend(nnm, "classification")
+    _, diag = backend.diag(X, y, N=X.shape[0])
+    Js, f = jacobians_naive(nnm.apply, nnm.train_params, X)
+    p = jax.nn.softmax(f, axis=-1)
+    Lam = jnp.einsum("bi,ij->bij", p, jnp.eye(p.shape[-1])) - jnp.einsum(
+        "bi,bj->bij", p, p
+    )
+    H_full = jnp.einsum("bcp,bcd,bdq->pq", Js, Lam, Js)
+    np.testing.assert_allclose(
+        np.asarray(diag), np.asarray(jnp.diagonal(H_full)),
+        rtol=1e-7, atol=1e-10,
+    )
