@@ -272,13 +272,18 @@ class NNModel:
                 kernel_dilation=module.kernel_dilation,
                 feature_group_count=module.feature_group_count,
             )
+            pad_str = (
+                module.padding.upper()
+                if isinstance(module.padding, str)
+                else None
+            )
+            has_input_dilation = module.input_dilation not in (None, 1)
             rewritable = (
-                module.input_dilation in (None, 1)
-                and getattr(module, "mask", None) is None
-                and (
-                    not isinstance(module.padding, str)
-                    or module.padding.upper() in ("SAME", "VALID", "CIRCULAR")
-                )
+                getattr(module, "mask", None) is None
+                and (pad_str is None or pad_str in ("SAME", "VALID", "CIRCULAR"))
+                # flax wrap-pads BEFORE lhs dilation for CIRCULAR; the im2col
+                # rewrite dilates first, so that one combination falls back
+                and not (has_input_dilation and pad_str == "CIRCULAR")
             )
             if rewritable:
                 from laplace_jax.ops.im2col import im2col
@@ -286,7 +291,8 @@ class NNModel:
                 kdil = module.kernel_dilation
                 if kdil is None or isinstance(kdil, int):
                     kdil = (kdil or 1,) * len(ksize)
-                patches = im2col(a, ksize, strides, module.padding, tuple(kdil))
+                patches = im2col(a, ksize, strides, module.padding, tuple(kdil),
+                                 input_dilation=module.input_dilation)
                 kernel = module.get_variable("params", "kernel")
                 groups = int(module.feature_group_count or 1)
                 if groups == 1:

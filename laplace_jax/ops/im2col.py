@@ -60,16 +60,30 @@ def conv_output_shape(in_shape, ksize, strides, pads, dilation):
     ]
 
 
-def im2col(x: jnp.ndarray, ksize, strides, padding, dilation=None) -> jnp.ndarray:
+def im2col(x: jnp.ndarray, ksize, strides, padding, dilation=None,
+           input_dilation=None) -> jnp.ndarray:
     """Extract conv patches via pad + strided slices (no conv primitive).
 
     x: (B, *spatial, C). Returns (B, *out_spatial, prod(ksize)*C) with the
     feature axis ordered (k_0, ..., k_{n-1}, C) row-major.
+
+    `input_dilation` (lhs dilation, the transposed-conv upsampling) inserts
+    zeros between input elements before patch extraction, matching
+    `lax.conv_general_dilated` lhs_dilation semantics.
     """
     nspatial = x.ndim - 2
     ksize = tuple(ksize)
     strides = tuple(strides)
     dilation = tuple(dilation) if dilation else (1,) * nspatial
+    if input_dilation:
+        if isinstance(input_dilation, int):
+            input_dilation = (input_dilation,) * nspatial
+        if any(d != 1 for d in input_dilation):
+            cfg = [(0, 0, 0)]
+            for d in input_dilation:
+                cfg.append((0, 0, int(d) - 1))
+            cfg.append((0, 0, 0))
+            x = jax.lax.pad(x, jnp.zeros((), x.dtype), cfg)
     in_shape = x.shape[1:-1]
     pad_mode = "constant"
     if isinstance(padding, str) and padding.upper() == "CIRCULAR":

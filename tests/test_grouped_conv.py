@@ -172,3 +172,37 @@ def test_circular_padding_rewrite(data, groups):
         np.asarray(diag), np.asarray(jnp.diagonal(H_full)),
         rtol=1e-7, atol=1e-10,
     )
+
+
+class DilatedInputCNN(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(5, (3, 3), padding=((1, 1), (1, 1)), input_dilation=2)(x)
+        x = jnp.tanh(x)
+        return nn.Dense(3)(x.reshape(x.shape[0], -1))
+
+
+def test_input_dilation_rewrite(data):
+    X, y = data
+    m = DilatedInputCNN()
+    params = m.init(jax.random.key(0), jnp.ones((1, 6, 6, 4)))
+    nnm = NNModel.from_flax(m, params)
+    f_plain = nnm.module.apply(nnm.full_params(nnm.train_params), X)
+    f_taps, taps = nnm.apply_with_taps(nnm.train_params, X)
+    np.testing.assert_allclose(
+        np.asarray(f_taps), np.asarray(f_plain), rtol=1e-12, atol=1e-12
+    )
+    assert [t for t in taps if t.kind == "conv"][0].patches is not None
+
+    backend = CurvatureBackend(nnm, "classification")
+    _, diag = backend.diag(X, y, N=X.shape[0])
+    Js, f = jacobians_naive(nnm.apply, nnm.train_params, X)
+    p = jax.nn.softmax(f, axis=-1)
+    Lam = jnp.einsum("bi,ij->bij", p, jnp.eye(p.shape[-1])) - jnp.einsum(
+        "bi,bj->bij", p, p
+    )
+    H_full = jnp.einsum("bcp,bcd,bdq->pq", Js, Lam, Js)
+    np.testing.assert_allclose(
+        np.asarray(diag), np.asarray(jnp.diagonal(H_full)),
+        rtol=1e-7, atol=1e-10,
+    )
