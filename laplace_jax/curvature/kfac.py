@@ -70,6 +70,18 @@ def conv_patches(inputs: jnp.ndarray, spec: dict) -> jnp.ndarray:
         # does, and already emits the (kh, kw, cin) feature order
         from laplace_jax.ops.im2col import im2col
 
+        in_dil = spec.get("input_dilation")
+        dilated = in_dil not in (None, 1) and (
+            isinstance(in_dil, int) or any(int(d) != 1 for d in in_dil)
+        )
+        if dilated:
+            # flax rejects string padding + lhs dilation at forward time, so
+            # no valid model reaches here; raise rather than silently
+            # computing patches of the undilated input
+            raise ValueError(
+                "CIRCULAR padding with input_dilation has no defined conv "
+                "semantics (flax rejects it); cannot extract patches."
+            )
         kdil = spec.get("kernel_dilation")
         if kdil is None or isinstance(kdil, int):
             kdil = (kdil or 1,) * nspatial

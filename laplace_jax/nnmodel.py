@@ -281,9 +281,11 @@ class NNModel:
             rewritable = (
                 getattr(module, "mask", None) is None
                 and (pad_str is None or pad_str in ("SAME", "VALID", "CIRCULAR"))
-                # flax wrap-pads BEFORE lhs dilation for CIRCULAR; the im2col
-                # rewrite dilates first, so that one combination falls back
-                and not (has_input_dilation and pad_str == "CIRCULAR")
+                # flax/lax REJECT string padding combined with lhs dilation
+                # ("String padding is not implemented for transposed
+                # convolution"); falling back keeps the rewrite's semantics
+                # exactly equal to the native module — including its errors
+                and not (has_input_dilation and pad_str is not None)
             )
             if rewritable:
                 from laplace_jax.ops.im2col import im2col

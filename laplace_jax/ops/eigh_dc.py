@@ -461,7 +461,11 @@ def _scatter_vals(buf: jnp.ndarray, vals: jnp.ndarray, col_base: jnp.ndarray,
 
 _TERMINATION = 256
 _BUCKET = 128  # TPU lane width; tighter padding than 256 for odd sizes
-_Q_STATE = {"q": 0.35}  # adaptive split quantile, persisted across calls
+# Cold-start value for the adaptive split quantile (see _classify): the
+# empirical upward bias of random-compression Ritz quantiles on decaying PSD
+# Gram spectra. Per-call state only — a process-global would make results
+# call-order dependent and racy.
+_Q_INIT = 0.35
 # condition bound for the first (shifted) CholeskyQR pass; see _orth_cols
 _SHIFT_REL = {"float32": 1e-3, "float64": 1e-9}
 
@@ -534,7 +538,8 @@ def _gather_blocks(records, width, stacks):
     return jnp.stack(out)
 
 
-def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
+def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION,
+                   q_init: float = _Q_INIT):
     """Eigendecompose a collection of symmetric-matrix stacks together.
 
     `stacks` is a list of (k_c, n_c, n_c) arrays (one per distinct factor
@@ -570,14 +575,18 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
 
     G_cache: dict = {}
 
+    # The classify pencil compresses to _RITZ_DIM dimensions; active blocks
+    # smaller than that would make it rank-deficient and its split estimates
+    # garbage (degrading every such block to the serial per-block fallback),
+    # so the base-case threshold can never sit below it.
+    termination_size = max(int(termination_size), _RITZ_DIM)
+
     level = 0
     # Adaptive Ritz split quantile (see _classify), retargeted from the
-    # exact split fractions read back each level. Persisted across calls:
-    # level 1 has no feedback yet, and decompose is typically called
-    # repeatedly on same-family spectra (every fit / online update), so the
-    # learned value from the last call is the best available prior. The
-    # 0.35 cold-start is the empirical bias of decaying PSD Gram spectra.
-    q_run = _Q_STATE["q"]
+    # exact split fractions read back each level; `q_init` seeds level 1
+    # (callers that decompose same-family spectra repeatedly may thread the
+    # learned value through explicitly).
+    q_run = float(q_init)
     while records:
         level += 1
         # ---- group by (terminal?, bucket width) -------------------------
@@ -799,7 +808,6 @@ def eigh_pooled_dc(stacks, termination_size: int = _TERMINATION):
         if frac_den:
             a = frac_num / frac_den
             q_run = float(np.clip(q_run * 0.5 / max(a, 0.05), 0.08, 0.92))
-            _Q_STATE["q"] = q_run
             if _DEBUG:
                 import sys as _sys
 

@@ -99,12 +99,20 @@ def _batched_eigh_clipped(stack: jnp.ndarray):
 
 
 def _device_list(devices):
-    """Normalize a devices argument: None, a Mesh, or a device sequence."""
+    """Normalize a devices argument: None, a Mesh, or a device sequence.
+    Restricted to THIS process's addressable devices — explicit
+    `device_put` to another host's device is illegal, and each host of a
+    multihost mesh decomposing its addressable shard-mates' factors locally
+    is exactly the right division of labor anyway."""
     if devices is None:
         return None
     if hasattr(devices, "devices"):  # jax.sharding.Mesh
-        return list(np.asarray(devices.devices).ravel())
-    return list(devices)
+        devices = list(np.asarray(devices.devices).ravel())
+    else:
+        devices = list(devices)
+    pid = jax.process_index()
+    local = [d for d in devices if d.process_index == pid]
+    return local if local else devices[:1]
 
 
 def _group_sizes(kfacs) -> list[int]:
