@@ -88,26 +88,16 @@ def main() -> None:
     sync(la)
     kfac_sec = time.perf_counter() - t0
 
-    # ---- marglik hyper-steps/sec on the fitted posterior -------------------
-    import optax
-
-    log_pp = jnp.zeros(1, dtype=jnp.float32)
-    opt = optax.adam(0.1)
-    state = opt.init(log_pp)
-
-    @jax.jit
-    def step(lp, st):
-        g = jax.grad(lambda l: -la._log_marglik(jnp.exp(l), la.sigma_noise))(lp)
-        upd, st = opt.update(g, st)
-        return optax.apply_updates(lp, upd), st
-
-    log_pp, state = step(log_pp, state)  # compile
-    jax.block_until_ready(log_pp)
-    n_steps = 100
+    # ---- marglik hyper-steps/sec via the library API ------------------------
+    # optimize_prior_precision runs its whole Adam loop as ONE device program
+    # (lax.scan), so this measures real tuning throughput instead of python
+    # dispatch latency
+    n_steps = 1000
+    la.optimize_prior_precision(n_steps=n_steps, lr=0.1)  # compile warm-up
+    np.asarray(la.prior_precision)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        log_pp, state = step(log_pp, state)
-    jax.block_until_ready(log_pp)
+    la.optimize_prior_precision(n_steps=n_steps, lr=0.1)
+    np.asarray(la.prior_precision)
     marglik_steps_per_sec = n_steps / (time.perf_counter() - t0)
 
     # ---- GLM predictive samples/sec (last-layer posterior) ------------------

@@ -124,6 +124,9 @@ class FunctionalLaplace(BaseLaplace):
                 "kernel is not recommended in the case of multivariate regression."
             )
 
+        # the cached compiled prior-tuning loop bakes fitted state in as
+        # trace constants; a new fit invalidates it
+        self._prior_tune_cache = None
         N = dataset_size(train_loader)
         self.n_data = N
         if self.n_subset > N:
@@ -629,6 +632,7 @@ class FunctionalLaplace(BaseLaplace):
             )
         if self.likelihood != state_dict["likelihood"]:
             raise ValueError("Different likelihoods detected!")
+        self._prior_tune_cache = None  # compiled tuning loop baked old state
         self.mean = state_dict["mean"]
         self.n_subset = state_dict["num_data"]
         self.independent_outputs = state_dict["diagonal_kernel"]
