@@ -106,12 +106,12 @@ def main() -> None:
     n_samples = 100
     Xj = jnp.asarray(X[:BATCH])
     s = la_ll.predictive_samples(Xj, pred_type="glm", n_samples=n_samples)
-    jax.block_until_ready(s)  # compile
+    np.asarray(s[0, 0, 0])  # compile + TRUE sync (see `sync` above)
     reps = max(1, N_DATA // BATCH)
     t0 = time.perf_counter()
     for _ in range(reps):
         s = la_ll.predictive_samples(Xj, pred_type="glm", n_samples=n_samples)
-    jax.block_until_ready(s)
+    np.asarray(s[0, 0, 0])
     glm_samples_per_sec = reps * BATCH * n_samples / (time.perf_counter() - t0)
 
     # ---- phase breakdown: scan accumulation vs eigh epilogue ----------------
