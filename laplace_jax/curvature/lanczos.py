@@ -166,11 +166,23 @@ def lanczos_eig_curvature(backend, loader, low_rank: int = 10, parallel=None):
         # total loss from the stacked arrays (the loader may be one-shot)
         @jax.jit
         def total_loss(th, xs_, ys_, rem_):
+            # the loss dtype follows promotion of params x inputs (e.g. f32
+            # params with f64-under-x64 inputs give an f64 loss); the scan
+            # carry must be initialized in that dtype, not theta's
+            loss_dt = jax.eval_shape(
+                lambda t: backend.lossfunc(
+                    model.apply_vec_curv(t, jax.tree_util.tree_map(
+                        lambda a: a[0], xs_
+                    )), ys_[0]
+                ),
+                th,
+            ).dtype
+
             def body(acc, inp):
                 x, y = inp
                 return acc + backend.lossfunc(model.apply_vec_curv(th, x), y), None
 
-            acc, _ = jax.lax.scan(body, jnp.asarray(0.0, theta.dtype), (xs_, ys_))
+            acc, _ = jax.lax.scan(body, jnp.asarray(0.0, loss_dt), (xs_, ys_))
             if rem_ is not None:
                 acc = acc + backend.lossfunc(
                     model.apply_vec_curv(th, rem_[0]), rem_[1]

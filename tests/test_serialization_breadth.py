@@ -131,3 +131,31 @@ def test_ll_wrong_last_layer_name_load_raises(model, class_loader):
     la2 = FullLLLaplace(model, "classification", last_layer_name="Dense_0")
     with pytest.raises(ValueError):
         la2.load_state_dict(sd)
+
+
+def test_lowrank_mixed_dtype_fit_and_roundtrip(tmp_path):
+    """f32 flax params with f64-under-x64 loader inputs promoted the Lanczos
+    loss to f64 while the scan carry was initialized in theta's dtype —
+    regression test for the dtype-mismatch crash, plus save/load."""
+    from laplace_jax import LowRankLaplace
+
+    class M2(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(2)(nn.tanh(nn.Dense(6)(x)))
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((20, 3))  # float64 under the x64 test config
+    y = rng.integers(0, 2, size=20)
+    m = M2()
+    params = m.init(jax.random.key(0), jnp.ones((1, 3), jnp.float32))
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), params)
+    la = LowRankLaplace(NNModel.from_flax(m, params), "classification",
+                        low_rank=5)
+    la.fit(ArrayLoader(X, y, batch_size=10))
+    path = str(tmp_path / "lr.npz")
+    la.save(path)
+    la2 = LowRankLaplace(NNModel.from_flax(m, params), "classification",
+                         low_rank=5).load(path)
+    Xs = jnp.asarray(X[:4])
+    assert np.array_equal(np.asarray(la(Xs)), np.asarray(la2(Xs)))
