@@ -53,6 +53,26 @@ def _is_traced(x) -> bool:
     return isinstance(x, jax.core.Tracer)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _swap_params(model, train_params):
+    """Temporarily install `train_params` (possibly tracers) as the model's
+    trainable parameters. Used to functionalize the curvature closures: the
+    backend reads `model.train_params` / `mean_vector` internally, so swapping
+    in a traced argument during tracing makes the compiled closure a pure
+    function of the parameters — refits after `set_params` (e.g. every
+    `marglik_training` tuning round) then reuse the compiled program instead
+    of baking stale parameter constants."""
+    old = model.train_params
+    model.train_params = train_params
+    try:
+        yield
+    finally:
+        model.train_params = old
+
+
 class BaseLaplace:
     """Baseclass for all Laplace approximations (reference `baselaplace.py:51`).
 
@@ -108,6 +128,20 @@ class BaseLaplace:
         self.loss = 0.0
         self.n_outputs = 0
         self.n_data = 0
+        # internal PRNG state for MC predictives/sampling when the caller
+        # passes no key: advances per use so repeated calls are NOT
+        # bit-identical — matching the reference, whose torch generator
+        # advances state across calls (`baselaplace.py:697-714`). Explicit
+        # keys remain fully reproducible.
+        self._rng = None
+
+    def _next_key(self) -> jax.Array:
+        """Split-and-advance the internal PRNG key (deterministic from seed 0
+        at construction; one stream per instance)."""
+        if self._rng is None:
+            self._rng = jax.random.key(0)
+        self._rng, k = jax.random.split(self._rng)
+        return k
 
     # ------------------------------------------------------------- dtype
     @property
@@ -257,7 +291,7 @@ class BaseLaplace:
             return f_mu, f_var
 
         if link_approx == LinkApprox.MC:
-            key = jax.random.key(0) if key is None else key
+            key = self._next_key() if key is None else key
             return self._glm_predictive_samples(
                 f_mu, f_var, n_samples=n_samples,
                 diagonal_output=diagonal_output, key=key,
@@ -296,7 +330,7 @@ class BaseLaplace:
     ):
         """Gaussian functional samples from the GLM predictive
         (reference `baselaplace.py:752-790`)."""
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         if f_var.ndim == 3 and diagonal_output:
             f_var = jnp.diagonal(f_var, axis1=1, axis2=2)
         return normal_samples(f_mu, f_var, n_samples, key)
@@ -466,6 +500,23 @@ class BaseLaplace:
         X, y = data
         return X, y
 
+    @staticmethod
+    def _check_loader(train_loader) -> None:
+        """Reject one-shot iterators up front: the fit loops probe one batch
+        and may iterate the loader more than once, so a generator would be
+        silently part-consumed and yield an empty (zero-curvature) fit."""
+        try:
+            is_one_shot = iter(train_loader) is train_loader
+        except TypeError:
+            raise ValueError("train_loader must be an iterable of batches.")
+        if is_one_shot:
+            raise ValueError(
+                "train_loader is a one-shot iterator (e.g. a generator); the "
+                "fit loop iterates it more than once, which would silently "
+                "yield an empty second pass. Pass a re-iterable loader such "
+                "as laplace_jax.utils.data.ArrayLoader or a list of batches."
+            )
+
     # ----------------------------------------------------------- persistence
     def save(self, path: str) -> None:
         """Persist the fitted state to a pickle-free `.npz` archive — the
@@ -515,8 +566,9 @@ class ParametricLaplace(BaseLaplace):
         With `self.parallel` set, the batch is sharded over the mesh's data
         axis and the curvature reduction rides the ICI collectives."""
         if self._curv_closure_fn is None:
-            def closure(x, y, N, key):
-                return self._curv_closure(x, y, N, key)
+            def closure(params, x, y, N, key):
+                with _swap_params(self.model, params):
+                    return self._curv_closure(x, y, N, key)
 
             if self.parallel is not None:
                 self._curv_closure_fn = self.parallel.wrap(closure, model=self.model)
@@ -536,6 +588,7 @@ class ParametricLaplace(BaseLaplace):
         per-batch python loop remains for generic loaders, `progress_bar=True`,
         and sharded (`parallel`) fits.
         """
+        self._check_loader(train_loader)
         if override:
             # H's zero factors are NOT materialized here: the scan path
             # overwrites H wholesale, and each zero-buffer creation is a
@@ -570,17 +623,18 @@ class ParametricLaplace(BaseLaplace):
         closure = self._make_curv_closure()
         key = jax.random.key(0) if key is None else key
 
+        params = self.model.train_params
         stacked = None
         if not progress_bar and self.parallel is None:
             stacked = _stack_batches(train_loader, self._unpack_batch)
 
         if stacked is not None:
             xs, ys, rem = stacked
-            loss, H = self._scan_accumulate(xs, ys, N, key)
+            loss, H = self._scan_accumulate(params, xs, ys, N, key)
             if rem is not None:
                 x_r, y_r = rem
                 loss_r, H_r = closure(
-                    _as_device(x_r), jnp.asarray(y_r), N,
+                    params, _as_device(x_r), jnp.asarray(y_r), N,
                     jax.random.fold_in(key, ys.shape[0]),
                 )
                 loss = loss + loss_r
@@ -601,39 +655,55 @@ class ParametricLaplace(BaseLaplace):
                 from tqdm.auto import tqdm
 
                 iterator = tqdm(train_loader, desc="[fit]")
+            n_batches = 0
             for i, data in enumerate(iterator):
                 X, y = self._unpack_batch(data)
                 loss_b, H_b = closure(
-                    _as_device(X), jnp.asarray(y), N, jax.random.fold_in(key, i)
+                    params, _as_device(X), jnp.asarray(y), N,
+                    jax.random.fold_in(key, i),
                 )
                 self.loss = self.loss + loss_b
                 self.H = self.H + H_b
+                n_batches += 1
+            if n_batches == 0:
+                raise RuntimeError(
+                    "train_loader yielded no batches — it is empty or a "
+                    "one-shot iterator that was already consumed (pass a "
+                    "re-iterable loader such as ArrayLoader)."
+                )
             self._H_zero = False
 
         self.n_data += N
 
-    def _scan_accumulate(self, xs, ys, N, key):
-        """Whole-loader curvature accumulation as one jitted lax.scan."""
+    def _scan_accumulate(self, params, xs, ys, N, key):
+        """Whole-loader curvature accumulation as one jitted lax.scan. The
+        parameters are a traced argument so refits after `set_params` reuse
+        the compiled program."""
         if getattr(self, "_scan_fit_fn", None) is None:
 
-            def scan_fit(xs, ys, N, key):
-                x0 = jax.tree_util.tree_map(lambda v: v[0], xs)
-                shapes = jax.eval_shape(self._curv_closure, x0, ys[0], N, key)
-                init = jax.tree_util.tree_map(
-                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
-                )
-                nb = ys.shape[0]
+            def scan_fit(params, xs, ys, N, key):
+                with _swap_params(self.model, params):
+                    x0 = jax.tree_util.tree_map(lambda v: v[0], xs)
+                    shapes = jax.eval_shape(
+                        self._curv_closure, x0, ys[0], N, key
+                    )
+                    init = jax.tree_util.tree_map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                    )
+                    nb = ys.shape[0]
 
-                def body(carry, inp):
-                    x, y, i = inp
-                    res = self._curv_closure(x, y, N, jax.random.fold_in(key, i))
-                    return jax.tree_util.tree_map(jnp.add, carry, res), None
+                    def body(carry, inp):
+                        x, y, i = inp
+                        res = self._curv_closure(
+                            x, y, N, jax.random.fold_in(key, i)
+                        )
+                        return jax.tree_util.tree_map(jnp.add, carry, res), None
 
-                acc, _ = jax.lax.scan(body, init, (xs, ys, jnp.arange(nb)))
-                return acc
+                    acc, _ = jax.lax.scan(body, init, (xs, ys, jnp.arange(nb)))
+                    return acc
 
             self._scan_fit_fn = jax.jit(scan_fit)
-        return self._scan_fit_fn(xs, ys, jnp.asarray(N), key)
+        return self._scan_fit_fn(params, xs, ys, jnp.asarray(N), key)
 
     # ------------------------------------------------------------ marglik bits
     @property
@@ -733,7 +803,7 @@ class ParametricLaplace(BaseLaplace):
                 x, likelihood, joint, link_approx, n_samples, diagonal_output, key
             )
         else:
-            key = jax.random.key(0) if key is None else key
+            key = self._next_key() if key is None else key
             if likelihood == Likelihood.REGRESSION:
                 samples = self._nn_predictive_samples(x, n_samples, key)
                 return samples.mean(axis=0), samples.var(axis=0)
@@ -744,7 +814,7 @@ class ParametricLaplace(BaseLaplace):
         """Function-space posterior samples (reference `baselaplace.py:1213-1253`)."""
         if pred_type not in [p for p in PredType]:
             raise ValueError("Only glm and nn supported as prediction types.")
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         if pred_type == PredType.GLM:
             f_mu, f_var = self._glm_predictive_distribution(x)
             return self._glm_functional_samples(
@@ -757,7 +827,7 @@ class ParametricLaplace(BaseLaplace):
         """Samples through the inverse link (reference `baselaplace.py:1260-1304`)."""
         if pred_type not in [p for p in PredType]:
             raise ValueError("Only glm and nn supported as prediction types.")
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         if pred_type == PredType.GLM:
             f_mu, f_var = self._glm_predictive_distribution(x)
             return self._glm_predictive_samples(
@@ -786,7 +856,7 @@ class ParametricLaplace(BaseLaplace):
         """MC functional samples by swapping sampled weights into the model
         (reference `baselaplace.py:1344-1362`); vectorized with vmap instead of
         a python loop over `vector_to_parameters`."""
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         samples = self.sample(n_samples, key)  # (S, P)
         xd = _as_device(x)
 
@@ -923,7 +993,7 @@ class FullLaplace(ParametricLaplace):
         return jnp.einsum("np,pq,mq->nm", Js, self.posterior_covariance, Js)
 
     def sample(self, n_samples: int = 100, key: Optional[jax.Array] = None):
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         eps = jax.random.normal(key, (n_samples, self.n_params), dtype=self._dtype)
         return self.mean[None, :] + eps @ self.posterior_scale.T
 
@@ -1089,7 +1159,7 @@ class KronLaplace(ParametricLaplace):
         return cov
 
     def sample(self, n_samples: int = 100, key: Optional[jax.Array] = None):
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         eps = jax.random.normal(key, (n_samples, self.n_params), dtype=self._dtype)
         samples = self.posterior_precision.bmm(eps, exponent=-0.5)
         return self.mean[None, :] + samples.reshape(n_samples, self.n_params)
@@ -1155,7 +1225,7 @@ class DiagLaplace(ParametricLaplace):
         return jnp.einsum("np,p,mp->nm", Js, self.posterior_variance, Js)
 
     def sample(self, n_samples: int = 100, key: Optional[jax.Array] = None):
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         eps = jax.random.normal(key, (n_samples, self.n_params), dtype=self._dtype)
         return self.mean[None, :] + eps * self.posterior_scale[None, :]
 
@@ -1196,6 +1266,7 @@ class LowRankLaplace(ParametricLaplace):
         (reference `baselaplace.py:1950-1987`)."""
         if not override:
             raise ValueError("LowRank LA does not support updating.")
+        self._check_loader(train_loader)
 
         self._prior_tune_cache = None
         self.mean = self.model.mean_vector
@@ -1241,7 +1312,7 @@ class LowRankLaplace(ParametricLaplace):
     def sample(self, n_samples: int = 100, key: Optional[jax.Array] = None):
         """Low-rank + diag Gaussian sampling via the double-Cholesky trick
         (reference `baselaplace.py:2022-2038`)."""
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         eps = jax.random.normal(key, (self.n_params, n_samples), dtype=self._dtype)
         d = self.prior_precision_diag
         Vs = self.V * jnp.sqrt(d)[:, None]

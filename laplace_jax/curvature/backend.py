@@ -50,6 +50,9 @@ class CurvatureBackend:
         (`curvature/curvature.py:131-167`) and restrict curvature to the last
         layer's parameters (the NNModel must then have only those trainable).
     subnetwork_indices : optional int array into the canonical flat vector.
+    ef_chunk_size : samples per empirical-Fisher accumulation chunk (peak
+        extra memory chunk·P); None = memory-aware default (~64 MiB of
+        per-sample gradients, clamped to [4, 128]).
     """
 
     def __init__(
@@ -64,6 +67,7 @@ class CurvatureBackend:
         feature_reduction=None,
         subnetwork_indices: Optional[jnp.ndarray] = None,
         kron_unsupported: str = "skip",
+        ef_chunk_size: Optional[int] = None,
     ):
         if likelihood not in (Likelihood.REGRESSION, Likelihood.CLASSIFICATION):
             raise ValueError("Backend likelihood must be regression or classification.")
@@ -84,6 +88,9 @@ class CurvatureBackend:
                 f"{kron_unsupported!r}."
             )
         self.kron_unsupported = kron_unsupported
+        if ef_chunk_size is not None and ef_chunk_size < 1:
+            raise ValueError(f"ef_chunk_size must be >= 1, got {ef_chunk_size}.")
+        self.ef_chunk_size = ef_chunk_size
 
         if likelihood == Likelihood.REGRESSION:
             self.lossfunc = mse_sum
@@ -211,7 +218,10 @@ class CurvatureBackend:
         grad_fn = jax.grad(loss_single)
         P = t0.shape[0]
         B = _leading_dim(y)
-        chunk = min(B, EF_CHUNK_SIZE)
+        chunk = self.ef_chunk_size
+        if chunk is None:
+            chunk = _default_ef_chunk(P, jnp.dtype(t0.dtype).itemsize)
+        chunk = min(B, chunk)
         main = (B // chunk) * chunk
         dtype = t0.dtype
         init = (
@@ -409,7 +419,13 @@ class CurvatureBackend:
         return lanczos_eig_curvature(self, loader, low_rank, parallel=parallel)
 
 
-EF_CHUNK_SIZE = 16  # samples per EF accumulation chunk (peak extra memory chunk·P)
+def _default_ef_chunk(P: int, itemsize: int = 4) -> int:
+    """Memory-aware EF chunk: target ~64 MiB of per-sample gradient buffer
+    (chunk · P · itemsize), clamped to [4, 128]. Small models get big chunks
+    (throughput); huge models stay within a bounded activation+grad budget.
+    Override per backend via the `ef_chunk_size` kwarg."""
+    target_bytes = 64 << 20
+    return max(4, min(128, target_bytes // max(P * itemsize, 1)))
 
 
 def _expand(v):

@@ -107,6 +107,7 @@ class FunctionalLaplace(BaseLaplace):
     def fit(self, train_loader, progress_bar: bool = False) -> None:
         """Build K_MM, Λ, and the Cholesky of (K_MM + Λ⁻¹) on an SoD subset
         (reference `baselaplace.py:2420-2534`)."""
+        self._check_loader(train_loader)
         data = next(iter(train_loader))
         X_probe, _ = self._unpack_batch(data)
         out = jax.eval_shape(

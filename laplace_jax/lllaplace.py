@@ -157,7 +157,7 @@ class LLLaplace(ParametricLaplace):
         """Sampled last-layer forward passes with cached features: φ is computed
         once, each posterior sample reruns only the Dense head
         (reference `lllaplace.py:257-315`)."""
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         _, phi = self.model.apply_with_features(
             self.model.train_params, _as_device(x), self.last_layer_path,
             self.feature_reduction,

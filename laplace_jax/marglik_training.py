@@ -142,6 +142,59 @@ def marglik_training(
     best_precision = None
     best_sigma = None
 
+    # ONE Laplace instance, refit every tuning round. Because the fit
+    # closures take the parameters as a traced argument (baselaplace
+    # `_swap_params`), the per-round refit reuses the compiled accumulation
+    # program; and the hyper-step below compiles ONCE for the whole training
+    # run instead of re-tracing per round (VERDICT r2 item 5) — the fitted
+    # curvature state (H, loss, mean) is threaded through as traced
+    # arguments, mirroring `optimize_prior_precision`'s cached loop.
+    lap = None
+    hyper_run = None
+
+    def _make_lap():
+        return Laplace(
+            nnm, likelihood, hessian_structure=hessian_structure,
+            sigma_noise=sigma_noise_init if likelihood == Likelihood.REGRESSION
+            else 1.0,
+            prior_precision=jnp.exp(log_prior_prec), temperature=temperature,
+            backend=backend, subset_of_weights="all", dict_key_x=dict_key_x,
+            dict_key_y=dict_key_y,
+        )
+
+    def _make_hyper_run(lap):
+        def neg_marglik(hp, H, loss, mean):
+            sn = (
+                jnp.exp(hp["log_sn"][0])
+                if "log_sn" in hp
+                else (
+                    sigma_noise_init
+                    if likelihood == Likelihood.REGRESSION
+                    else None
+                )
+            )
+            old = (lap.H, lap.loss, lap.mean)
+            lap.H, lap.loss, lap.mean = H, loss, mean
+            try:
+                return -lap.log_marginal_likelihood(jnp.exp(hp["log_pp"]), sn)
+            finally:
+                lap.H, lap.loss, lap.mean = old
+
+        @jax.jit
+        def run(hp, state, H, loss, mean):
+            def body(carry, _):
+                hp, state = carry
+                val, g = jax.value_and_grad(neg_marglik)(hp, H, loss, mean)
+                updates, state = hyper_optimizer.update(g, state)
+                return (optax.apply_updates(hp, updates), state), val
+
+            (hp, state), vals = jax.lax.scan(
+                body, (hp, state), None, length=n_hypersteps
+            )
+            return hp, state, vals
+
+        return run
+
     epochs = range(1, n_epochs + 1)
     if progress_bar:  # reference `marglik_training.py:213-221`
         from tqdm.auto import tqdm
@@ -173,46 +226,32 @@ def marglik_training(
         if (epoch % marglik_frequency) != 0 or epoch < n_epochs_burnin:
             continue
 
-        # 1. fit a fresh all-weights Laplace at the current parameters
+        # 1. refit the (single, reused) all-weights Laplace at the current
+        # parameters — the compiled accumulation program is reused across
+        # rounds because the parameters are a traced argument of the closure
         nnm.set_params(nnm.unflatten(theta))
-        sigma_noise = (
-            float(jnp.exp(log_sigma_noise[0]))
-            if (likelihood == Likelihood.REGRESSION and not fix_sigma_noise)
-            else sigma_noise_init if likelihood == Likelihood.REGRESSION else 1.0
-        )
-        lap = Laplace(
-            nnm, likelihood, hessian_structure=hessian_structure,
-            sigma_noise=sigma_noise, prior_precision=jnp.exp(log_prior_prec),
-            temperature=temperature, backend=backend, subset_of_weights="all",
-            dict_key_x=dict_key_x, dict_key_y=dict_key_y,
-        )
+        if lap is None:
+            lap = _make_lap()
+            hyper_run = _make_hyper_run(lap)
+        if likelihood == Likelihood.REGRESSION:
+            lap.sigma_noise = (
+                float(jnp.exp(log_sigma_noise[0]))
+                if not fix_sigma_noise
+                else sigma_noise_init
+            )
         lap.fit(train_loader)
 
-        # 2. differentiate marglik w.r.t. hyperparameters
+        # 2. differentiate marglik w.r.t. hyperparameters: all n_hypersteps
+        # as ONE cached device program (compiled once for the whole run)
         hyper_params = {"log_pp": log_prior_prec}
         if likelihood == Likelihood.REGRESSION and not fix_sigma_noise:
             hyper_params["log_sn"] = log_sigma_noise
         hyper_state = hyper_optimizer.init(hyper_params)
 
-        def neg_marglik(hp):
-            sn = (
-                jnp.exp(hp["log_sn"][0])
-                if "log_sn" in hp
-                else (sigma_noise_init if likelihood == Likelihood.REGRESSION else None)
-            )
-            return -lap.log_marginal_likelihood(jnp.exp(hp["log_pp"]), sn)
-
-        @jax.jit
-        def hyper_step(hp, state):
-            val, g = jax.value_and_grad(neg_marglik)(hp)
-            updates, state = hyper_optimizer.update(g, state)
-            return optax.apply_updates(hp, updates), state, val
-
-        for _ in range(n_hypersteps):
-            hyper_params, hyper_state, marglik_val = hyper_step(
-                hyper_params, hyper_state
-            )
-            margliks.append(float(marglik_val))
+        hyper_params, hyper_state, marglik_vals = hyper_run(
+            hyper_params, hyper_state, lap.H, jnp.asarray(lap.loss), lap.mean
+        )
+        margliks.extend(float(v) for v in np.asarray(marglik_vals))
         log_prior_prec = hyper_params["log_pp"]
         if "log_sn" in hyper_params:
             log_sigma_noise = hyper_params["log_sn"]
@@ -245,12 +284,15 @@ def marglik_training(
         )
 
     nnm.set_params(nnm.unflatten(theta))
-    lap = Laplace(
-        nnm, likelihood, hessian_structure=hessian_structure,
-        sigma_noise=sigma_noise, prior_precision=prior_prec,
-        temperature=temperature, backend=backend, subset_of_weights="all",
-        enable_backprop=enable_backprop, dict_key_x=dict_key_x,
-        dict_key_y=dict_key_y,
-    )
+    if lap is None:  # no tuning round ever ran (burn-in >= n_epochs)
+        lap = _make_lap()
+        hyper_run = _make_hyper_run(lap)
+    lap.enable_backprop = enable_backprop
+    lap.prior_precision = prior_prec
+    if likelihood == Likelihood.REGRESSION:
+        lap.sigma_noise = sigma_noise
     lap.fit(train_loader)
+    # introspection hook for tests: the jitted hyper-step program (compiled
+    # once across all tuning rounds — `_cache_size()` must stay at <=1)
+    lap._hyper_run = hyper_run
     return lap, nnm, margliks, losses

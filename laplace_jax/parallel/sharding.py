@@ -108,11 +108,12 @@ def shard_closure(
     mesh: Mesh,
     axis_name="data",
 ) -> Callable:
-    """Jit a per-batch curvature closure `(x, y, N, key) -> (loss, H)` with the
-    batch sharded over the mesh; outputs are replicated, so XLA emits the
-    cross-device reduction (psum) for every batch contraction. `axis_name` may
-    be a tuple (e.g. ('replica', 'data') on a DCN × ICI mesh) — the batch then
-    shards jointly over both axes."""
+    """Jit a per-batch curvature closure `(params, x, y, N, key) -> (loss, H)`
+    with the batch sharded over the mesh; the parameters are replicated and
+    outputs are replicated, so XLA emits the cross-device reduction (psum) for
+    every batch contraction. `axis_name` may be a tuple (e.g.
+    ('replica', 'data') on a DCN × ICI mesh) — the batch then shards jointly
+    over both axes."""
     batch_sharding = _batch_spec(mesh, axis_name)
     repl = _replicated(mesh)
 
@@ -121,8 +122,8 @@ def shard_closure(
             return {k: batch_sharding for k in x}
         return batch_sharding
 
-    def wrapped(x, y, N, key):
-        return closure(x, y, N, key)
+    def wrapped(params, x, y, N, key):
+        return closure(params, x, y, N, key)
 
     n_dev = int(np.prod([mesh.shape[a] for a in _axis_tuple(axis_name)]))
     cache: dict = {}
@@ -133,23 +134,24 @@ def shard_closure(
             return {k: v[sl] for k, v in x.items()}
         return x[sl]
 
-    def call(x, y, N, key):
+    def call(params, x, y, N, key):
         bsz = _leading_dim(x)
         main = (bsz // n_dev) * n_dev
         if main == 0:  # batch smaller than the mesh: run unsharded
-            return plain(x, y, jnp.asarray(N), key)
+            return plain(params, x, y, jnp.asarray(N), key)
         kind = "dict" if isinstance(x, Mapping) else "array"
         if kind not in cache:
-            in_shardings = (put_spec(x), batch_sharding, repl, repl)
+            param_spec = jax.tree_util.tree_map(lambda _: repl, params)
+            in_shardings = (param_spec, put_spec(x), batch_sharding, repl, repl)
             cache[kind] = jax.jit(
                 wrapped, in_shardings=in_shardings, out_shardings=repl
             )
         res = cache[kind](
-            _take(x, slice(0, main)), y[:main], jnp.asarray(N), key
+            params, _take(x, slice(0, main)), y[:main], jnp.asarray(N), key
         )
         if main < bsz:  # curvature is batch-additive: add the remainder
             rest = plain(
-                _take(x, slice(main, bsz)), y[main:], jnp.asarray(N),
+                params, _take(x, slice(main, bsz)), y[main:], jnp.asarray(N),
                 jax.random.fold_in(key, 1),
             )
             res = jax.tree_util.tree_map(lambda a, b: a + b, res, rest)
@@ -185,27 +187,20 @@ def shard_map_closure(
 
     Requires the batch size to be divisible by the mesh size; per-shard PRNG
     keys are decorrelated by folding in the device index (matters for
-    MC-Fisher curvature). If `model` (an NNModel whose parameters the closure
-    differentiates against) is given, its parameters are marked device-varying
-    inside the shard so jacrev/vjp stay shard-local."""
+    MC-Fisher curvature). The replicated parameter argument is marked
+    device-varying inside the shard so jacrev/vjp stay shard-local (without
+    this, autodiff w.r.t. an unvarying value auto-inserts a psum on its
+    cotangent, double-reducing per-shard Jacobians)."""
 
     axes = _axis_tuple(axis_name)
     n_dev = int(np.prod([mesh.shape[a] for a in axes]))
 
-    def sharded(x, y, N, key):
-        def per_shard(xs, ys, Ns, keys):
+    def sharded(params, x, y, N, key):
+        def per_shard(ps, xs, ys, Ns, keys):
             shard_key = keys
             for ax in axes:
                 shard_key = jax.random.fold_in(shard_key, jax.lax.axis_index(ax))
-            if model is not None:
-                orig = model.train_params
-                model.train_params = _pvary(orig, axis_name)
-                try:
-                    loss, H = closure(xs, ys, Ns, shard_key)
-                finally:
-                    model.train_params = orig
-            else:
-                loss, H = closure(xs, ys, Ns, shard_key)
+            loss, H = closure(_pvary(ps, axis_name), xs, ys, Ns, shard_key)
             return jax.tree_util.tree_map(
                 lambda t: jax.lax.psum(t, axes), (loss, H)
             )
@@ -214,24 +209,25 @@ def shard_map_closure(
 
         bspec = P(axes)
         x_specs = {k: bspec for k in x} if isinstance(x, Mapping) else bspec
+        p_specs = jax.tree_util.tree_map(lambda _: P(), params)
         fn = shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(x_specs, bspec, P(), P()),
+            in_specs=(p_specs, x_specs, bspec, P(), P()),
             out_specs=P(),
         )
-        return fn(x, y, jnp.asarray(N), key)
+        return fn(params, x, y, jnp.asarray(N), key)
 
     jitted = jax.jit(sharded)
 
-    def call(x, y, N, key):
+    def call(params, x, y, N, key):
         bsz = _leading_dim(x)
         if bsz % n_dev != 0:
             raise ValueError(
                 f"Batch size {bsz} not divisible by mesh size {n_dev}; use "
                 "shard_closure (XLA-annotated) for uneven batches."
             )
-        return jitted(x, y, N, key)
+        return jitted(params, x, y, N, key)
 
     return call
 

@@ -163,7 +163,7 @@ class FullSubnetLaplace(SubnetLaplace, FullLaplace):
         self._posterior_scale = None
 
     def sample(self, n_samples: int = 100, key: Optional[jax.Array] = None):
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         eps = jax.random.normal(
             key, (n_samples, self.n_params_subnet), dtype=self._dtype
         )
@@ -183,7 +183,7 @@ class DiagSubnetLaplace(SubnetLaplace, DiagLaplace):
         self.H = jnp.zeros(self.n_params_subnet, dtype=self._dtype)
 
     def sample(self, n_samples: int = 100, key: Optional[jax.Array] = None):
-        key = jax.random.key(0) if key is None else key
+        key = self._next_key() if key is None else key
         eps = jax.random.normal(
             key, (n_samples, self.n_params_subnet), dtype=self._dtype
         )

@@ -1,0 +1,165 @@
+"""The marglik_training hyper-step must compile ONCE across tuning rounds
+(VERDICT r2 item 5) with numerics identical to the naive per-round re-jit.
+
+The oracle re-implements the pre-cache behavior (fresh Laplace + fresh jitted
+step per round, reference Alg. 1 semantics) and compares the marglik trace
+elementwise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from laplace_jax import Laplace, marglik_training
+from laplace_jax.utils.data import ArrayLoader
+
+from .utils import classification_data, make_mlp, regression_data, sinusoid_data
+
+
+def _loader(likelihood):
+    if likelihood == "classification":
+        X, y = classification_data(n=20)
+    else:
+        X, y = sinusoid_data(n=20)
+    return ArrayLoader(X, y, batch_size=10), X, y
+
+
+@pytest.mark.parametrize("likelihood", ["classification", "regression"])
+@pytest.mark.parametrize("structure", ["kron", "diag"])
+def test_hyper_step_compiles_once_across_rounds(likelihood, structure):
+    model, params = make_mlp(in_dim=1 if likelihood == "regression" else 3)
+    loader, _, _ = _loader(likelihood)
+    la, nnm, margliks, losses = marglik_training(
+        model, loader, likelihood=likelihood, hessian_structure=structure,
+        n_epochs=4, n_epochs_burnin=0, marglik_frequency=1, n_hypersteps=3,
+        params=params, optimizer_kwargs={"learning_rate": 1e-3},
+    )
+    # 4 rounds x 3 hypersteps
+    assert len(margliks) == 12
+    assert np.all(np.isfinite(margliks))
+    # ONE compilation across all 4 tuning rounds
+    assert la._hyper_run._cache_size() == 1
+    # the fit accumulation closure also compiled once across the 5 fits
+    # (4 rounds + final refit)
+    assert la._scan_fit_fn._cache_size() == 1
+
+
+def _naive_marglik_rounds(model, params, loader, likelihood, structure,
+                          n_rounds, n_hypersteps, lr, lr_hyp,
+                          prior_prec_init=1.0, sigma_noise_init=1.0):
+    """Pre-cache reference behavior: train inner steps, then per round a fresh
+    Laplace and a fresh jitted hyper-step loop."""
+    from laplace_jax.nnmodel import NNModel
+    from laplace_jax.utils.flatten import tree_to_vector
+    from laplace_jax.utils.prior import (
+        expand_prior_precision_sizes,
+        fix_prior_prec_structure,
+    )
+
+    nnm = NNModel.wrap(model, params)
+    theta = tree_to_vector(nnm.train_params)
+    P = theta.shape[0]
+    H = nnm.n_layers
+    leaf_sizes = [s.size for s in nnm.leaf_specs]
+    N = loader.n_data
+    log_pp = jnp.log(
+        fix_prior_prec_structure(prior_prec_init, "layerwise", H, P,
+                                 dtype=theta.dtype)
+    )
+    log_sn = (
+        jnp.log(jnp.full((1,), sigma_noise_init, dtype=theta.dtype))
+        if likelihood == "regression" else None
+    )
+    opt = optax.adam(lr)
+    opt_state = opt.init(theta)
+    hyper_opt = optax.adam(lr_hyp)
+
+    def criterion(f, y):
+        if likelihood == "regression":
+            return jnp.mean((f - y) ** 2)
+        logp = jax.nn.log_softmax(f, axis=-1)
+        return -jnp.mean(
+            jnp.take_along_axis(logp, y[..., None].astype(int), axis=-1)
+        )
+
+    @jax.jit
+    def train_step(theta, opt_state, x, y, log_pp, log_sn):
+        def objective(t):
+            f = nnm.apply_vec(t, x)
+            if likelihood == "regression":
+                sn = jnp.exp(log_sn[0])
+                crit_factor = 1.0 / (2.0 * sn**2)
+            else:
+                crit_factor = 1.0
+            delta = expand_prior_precision_sizes(jnp.exp(log_pp), leaf_sizes)
+            reg = 0.5 * jnp.dot(delta * t, t) / N / crit_factor
+            return criterion(f, y) + reg
+
+        loss, g = jax.value_and_grad(objective)(theta)
+        updates, opt_state = opt.update(g, opt_state, theta)
+        return optax.apply_updates(theta, updates), opt_state, loss
+
+    margliks = []
+    for _round in range(n_rounds):
+        for x, y in loader:
+            sn_arg = (
+                jax.lax.stop_gradient(log_sn) if log_sn is not None else log_sn
+            )
+            theta, opt_state, _ = train_step(
+                theta, opt_state, jnp.asarray(x), jnp.asarray(y),
+                jax.lax.stop_gradient(log_pp), sn_arg,
+            )
+        nnm.set_params(nnm.unflatten(theta))
+        sigma_noise = (
+            float(jnp.exp(log_sn[0])) if likelihood == "regression" else 1.0
+        )
+        lap = Laplace(
+            nnm, likelihood, hessian_structure=structure,
+            sigma_noise=sigma_noise, prior_precision=jnp.exp(log_pp),
+            subset_of_weights="all",
+        )
+        lap.fit(loader)
+        hp = {"log_pp": log_pp}
+        if likelihood == "regression":
+            hp["log_sn"] = log_sn
+        hstate = hyper_opt.init(hp)
+
+        def neg_marglik(hp):
+            sn = jnp.exp(hp["log_sn"][0]) if "log_sn" in hp else None
+            return -lap.log_marginal_likelihood(jnp.exp(hp["log_pp"]), sn)
+
+        @jax.jit
+        def hyper_step(hp, state):
+            val, g = jax.value_and_grad(neg_marglik)(hp)
+            updates, state = hyper_opt.update(g, state)
+            return optax.apply_updates(hp, updates), state, val
+
+        for _ in range(n_hypersteps):
+            hp, hstate, val = hyper_step(hp, hstate)
+            margliks.append(float(val))
+        log_pp = hp["log_pp"]
+        if "log_sn" in hp:
+            log_sn = hp["log_sn"]
+    return margliks
+
+
+@pytest.mark.parametrize("likelihood", ["classification", "regression"])
+def test_cached_hyper_step_matches_naive_rejit(likelihood):
+    in_dim = 1 if likelihood == "regression" else 3
+    model, params = make_mlp(in_dim=in_dim)
+    loader, _, _ = _loader(likelihood)
+    naive = _naive_marglik_rounds(
+        model, params, loader, likelihood, "kron",
+        n_rounds=3, n_hypersteps=2, lr=1e-3, lr_hyp=1e-1,
+    )
+    model2, params2 = make_mlp(in_dim=in_dim)
+    loader2, _, _ = _loader(likelihood)
+    _, _, margliks, _ = marglik_training(
+        model2, loader2, likelihood=likelihood, hessian_structure="kron",
+        n_epochs=3, n_epochs_burnin=0, marglik_frequency=1, n_hypersteps=2,
+        params=params2, optimizer_kwargs={"learning_rate": 1e-3}, lr_hyp=1e-1,
+    )
+    np.testing.assert_allclose(np.asarray(margliks), np.asarray(naive),
+                               rtol=1e-8, atol=1e-8)
