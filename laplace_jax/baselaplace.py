@@ -648,13 +648,16 @@ class ParametricLaplace(BaseLaplace):
                 self.H = self.H + H
             self._H_zero = False
         else:
-            if getattr(self, "_H_zero", False):
-                self._init_H()
             iterator = train_loader
             if progress_bar:
                 from tqdm.auto import tqdm
 
                 iterator = tqdm(train_loader, desc="[fit]")
+            # H stays lazy: the first batch's curvature is assigned wholesale
+            # (zero factors are never materialized — their structure can
+            # depend on layer metadata only the tap path knows, e.g.
+            # DenseGeneral factor splits, and each zero buffer is a device
+            # dispatch)
             n_batches = 0
             for i, data in enumerate(iterator):
                 X, y = self._unpack_batch(data)
@@ -663,7 +666,10 @@ class ParametricLaplace(BaseLaplace):
                     jax.random.fold_in(key, i),
                 )
                 self.loss = self.loss + loss_b
-                self.H = self.H + H_b
+                if getattr(self, "_H_zero", False) and n_batches == 0:
+                    self.H = H_b
+                else:
+                    self.H = self.H + H_b
                 n_batches += 1
             if n_batches == 0:
                 raise RuntimeError(

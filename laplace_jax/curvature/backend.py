@@ -64,6 +64,7 @@ class CurvatureBackend:
         num_samples: int = 1,
         last_layer: bool = False,
         last_layer_path: Optional[tuple] = None,
+        last_layer_dense: bool = True,
         feature_reduction=None,
         subnetwork_indices: Optional[jnp.ndarray] = None,
         kron_unsupported: str = "skip",
@@ -80,6 +81,7 @@ class CurvatureBackend:
         self.num_samples = num_samples
         self.last_layer = last_layer
         self.last_layer_path = last_layer_path
+        self.last_layer_dense = last_layer_dense
         self.feature_reduction = feature_reduction
         self.subnetwork_indices = subnetwork_indices
         if kron_unsupported not in ("skip", "block", "raise"):
@@ -161,9 +163,14 @@ class CurvatureBackend:
 
     def _jacobians_dispatch(self, x):
         """Jitted Jacobian path for predictives; the current parameters are a
-        traced argument so later `set_params` calls stay correct."""
+        traced argument so later `set_params` calls stay correct. Last-layer
+        models with a Dense head use the closed-form φ⊗I Jacobian; non-Dense
+        heads (conv / DenseGeneral / norm — the reference supports none of
+        these, `feature_extractor.py:144-145`) differentiate w.r.t. the head's
+        restricted flat parameter vector directly."""
+        use_phi = self.last_layer and self.last_layer_dense
         if self._jit_dispatch is None:
-            if self.last_layer:
+            if use_phi:
                 self._jit_dispatch = jax.jit(
                     lambda tp, xx: self.last_layer_jacobians(xx, train_params=tp)
                 )
@@ -171,9 +178,7 @@ class CurvatureBackend:
                 self._jit_dispatch = jax.jit(
                     lambda th, xx: self.jacobians(xx, theta=th)
                 )
-        arg = (
-            self.model.train_params if self.last_layer else self.model.mean_vector
-        )
+        arg = self.model.train_params if use_phi else self.model.mean_vector
         return self._jit_dispatch(arg, x)
 
     # -------------------------------------------------------------- gradients
@@ -344,15 +349,22 @@ class CurvatureBackend:
             and not self.last_layer
             and self._can_use_taps()
         ):
-            from laplace_jax.curvature.diag_taps import diag_curvature_taps
-
-            loss, d = diag_curvature_taps(
-                self.model, x, y, self.likelihood, self.lossfunc,
-                curv_type=self.curv_type,
+            from laplace_jax.curvature.diag_taps import (
+                TapUnsupported,
+                diag_curvature_taps,
             )
-            if self.curv_type == "ef":  # EF scales H by factor; GGN does not
-                d = self.factor * d
-            return self.factor * loss, d
+
+            try:
+                loss, d = diag_curvature_taps(
+                    self.model, x, y, self.likelihood, self.lossfunc,
+                    curv_type=self.curv_type,
+                )
+            except TapUnsupported:
+                pass  # e.g. DenseGeneral batch_dims / exotic einsum: J-path
+            else:
+                if self.curv_type == "ef":  # EF scales H; GGN does not
+                    d = self.factor * d
+                return self.factor * loss, d
         if self.curv_type == "ef":
             d, loss = self._ef_accumulate(x, y, mode="diag")
             return self.factor * loss, self.factor * d

@@ -34,7 +34,12 @@ from laplace_jax.curvature.kfac import (
 )
 from laplace_jax.enums import Likelihood
 
-__all__ = ["diag_curvature_taps"]
+__all__ = ["diag_curvature_taps", "TapUnsupported"]
+
+
+class TapUnsupported(ValueError):
+    """The model has trainable leaves outside intercepted layers — the exact
+    tap diagonal is unavailable; callers fall back to the Jacobian path."""
 
 
 def diag_curvature_taps(
@@ -58,8 +63,12 @@ def diag_curvature_taps(
     )
     if last_layer_path is not None:
         tap_shapes = [t for t in tap_shapes if t.path == last_layer_path]
-    if not any(t.kind in ("dense", "conv") for t in tap_shapes):
-        raise ValueError("No Dense/Conv layers intercepted for diagonal curvature.")
+    if not any(
+        t.kind in ("dense", "conv", "dense_general") for t in tap_shapes
+    ):
+        raise TapUnsupported(
+            "No Dense/Conv layers intercepted for diagonal curvature."
+        )
     xleaf = jax.tree_util.tree_leaves(x)[0]
     varying_zero = (xleaf.ravel()[0] * 0).astype(jnp.float32)
     offsets = {
@@ -120,6 +129,33 @@ def diag_curvature_taps(
             a = t.inputs  # (B, I)
             kernel_diag[t.path] = jnp.einsum("bi,cbo->io", a**2, g**2)
             bias_diag[t.path] = jnp.einsum("cbo->o", g**2)
+        elif t.kind == "dense_general":
+            # DenseGeneral / Einsum: activation rows pre-normalized to
+            # (B, T, K) in kernel order; cotangents flattened per the tap's
+            # permutation metadata. Bias diag uses the (possibly different)
+            # bias flatten order.
+            from laplace_jax.curvature.kfac import _dg_grad_rows
+
+            a2 = t.patches  # (B, T, K)
+            spec = t.conv_spec
+            Cp, B = g.shape[0], a2.shape[0]
+            g_k = _dg_grad_rows(g, spec).reshape(Cp, B, a2.shape[1], -1)
+            g_b = _dg_grad_rows(g, spec, for_bias=True).reshape(
+                Cp, B, a2.shape[1], -1
+            )
+
+            def per_sample_dg(args):
+                a_b, gk_b, gb_b = args  # (T, K), (C', T, O), (C', T, O)
+                M = jnp.einsum("tk,cto->cko", a_b, gk_b)
+                return (M**2).sum(0), (gb_b.sum(1) ** 2).sum(0)
+
+            dK, dB = jax.lax.map(
+                per_sample_dg,
+                (a2, jnp.swapaxes(g_k, 0, 1), jnp.swapaxes(g_b, 0, 1)),
+                batch_size=8,
+            )
+            kernel_diag[t.path] = dK.sum(0)
+            bias_diag[t.path] = dB.sum(0)
         else:
             groups = 1
             if t.kind == "dense":  # weight sharing over leading dims
@@ -181,7 +217,7 @@ def diag_curvature_taps(
                 matched = t
                 break
         if matched is None:
-            raise ValueError(
+            raise TapUnsupported(
                 f"Trainable parameter {path} does not belong to an intercepted "
                 "Dense/Conv/norm layer; use the Jacobian-based diag path."
             )

@@ -171,7 +171,9 @@ def kfac_factors(
     tap_shapes = [
         t for t in tap_shapes if t.kind != "norm" or want_norm_taps
     ]
-    if not any(t.kind in ("dense", "conv") for t in tap_shapes):
+    if not any(
+        t.kind in ("dense", "conv", "dense_general") for t in tap_shapes
+    ):
         raise ValueError("No Dense/Conv layers intercepted for KFAC.")
     # tie the zero offsets to x's device-varying-ness: under shard_map's
     # varying-manual-axes semantics, differentiating w.r.t. an UNVARYING value
@@ -230,12 +232,28 @@ def kfac_factors(
         raise ValueError(f"Unknown fisher_type {fisher_type}.")
 
     norm_paths = {t.path for t in taps if t.kind == "norm"}
+    dg_specs = {t.path: t.conv_spec for t in taps if t.kind == "dense_general"}
 
     # ---- B factors (Dense/Conv output-gradient covariances) -----------------
+    # dense_general (DenseGeneral / Einsum) cotangents may carry several
+    # feature axes in non-kernel order: flatten them via the tap's metadata.
+    # When kernel and bias flatten orders differ (exotic einsum outputs), a
+    # separately-ordered bias factor is kept in B_facs_bias.
     B_facs: dict = {}
+    B_facs_bias: dict = {}
     for w, gd in g_sweeps:
         for p_, gl in gd.items():
             if p_ in norm_paths:
+                continue
+            if p_ in dg_specs:
+                spec = dg_specs[p_]
+                contrib = w * _grad_cov(_dg_grad_rows(gl, spec))
+                B_facs[p_] = contrib if p_ not in B_facs else B_facs[p_] + contrib
+                if spec["g_perm"] != spec["g_perm_bias"]:
+                    cb = w * _grad_cov(_dg_grad_rows(gl, spec, for_bias=True))
+                    B_facs_bias[p_] = (
+                        cb if p_ not in B_facs_bias else B_facs_bias[p_] + cb
+                    )
                 continue
             contrib = w * _grad_cov(gl)
             B_facs[p_] = contrib if p_ not in B_facs else B_facs[p_] + contrib
@@ -267,6 +285,11 @@ def kfac_factors(
     A_facs = {}
     for t in taps:
         if t.kind == "norm":
+            continue
+        if t.kind == "dense_general":
+            # activation rows already normalized to (B, T, K) in kernel order
+            p = t.patches
+            A_facs[t.path] = jnp.einsum("btk,btl->kl", p, p) / (N * p.shape[1])
             continue
         if t.kind == "dense":
             a = t.inputs
@@ -310,11 +333,13 @@ def kfac_factors(
                 break
         group = None
         if matched is not None:
-            if matched.kind in ("dense", "conv"):
+            if matched.kind in ("dense", "conv", "dense_general"):
                 if role == "kernel":
                     group = (A_facs[matched.path], B_facs[matched.path])
                 elif role == "bias":
-                    group = (B_facs[matched.path],)
+                    group = (
+                        B_facs_bias.get(matched.path, B_facs[matched.path]),
+                    )
             elif matched.kind == "norm":
                 blk = norm_blocks.get((matched.path, role))
                 if blk is not None:
@@ -366,6 +391,18 @@ def _zero_group(spec, dtype):
         jnp.zeros((p_in, p_in), dtype=dtype),
         jnp.zeros((p_out, p_out), dtype=dtype),
     )
+
+
+def _dg_grad_rows(gl: jnp.ndarray, spec: dict, for_bias: bool = False):
+    """Flatten dense_general cotangents (S, B, *out) to (rows, O) with the
+    feature axes last in kernel (default) or bias flatten order."""
+    perm = spec["g_perm_bias"] if for_bias else spec["g_perm"]
+    if perm is not None:
+        gl = jnp.transpose(gl, (0,) + tuple(1 + p for p in perm))
+    O = 1
+    for d in gl.shape[gl.ndim - spec["n_feat"]:]:
+        O *= d
+    return gl.reshape(-1, O)
 
 
 def _grad_cov(g: jnp.ndarray) -> jnp.ndarray:

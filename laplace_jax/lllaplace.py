@@ -79,7 +79,10 @@ class LLLaplace(ParametricLaplace):
     # ------------------------------------------------------------- last layer
     def _set_last_layer(self, path: tuple) -> None:
         """Restrict the model to the last layer's parameters and rebuild the
-        backend for the φ⊗I fast path."""
+        backend: Dense heads get the φ⊗I fast path, any other head (conv /
+        DenseGeneral / Einsum / norm — beyond the reference, which requires a
+        linear head, `feature_extractor.py:144-145`) gets generic Jacobians
+        w.r.t. the head's restricted parameter vector."""
         self.last_layer_path = path
         # validates the path: raises "No parameters found under module path"
         # for a wrong last_layer_name (reference errors similarly on a missing
@@ -94,11 +97,20 @@ class LLLaplace(ParametricLaplace):
         )
         self.n_params = self.model.n_params
         self.n_layers = self.model.n_layers
+        # head kind needs a probe batch; assume the common Dense head until
+        # one is available (fit re-resolves before any curvature runs)
+        self._head_kind = "dense"
+        if getattr(self, "data", None) is not None:
+            kind = self._full_model.tap_kind(path, self.data)
+            if kind is not None:
+                self._head_kind = kind
         self._backend = None
         self._curv_closure_fn = None
+        self._scan_fit_fn = None
         self._backend_kwargs.update(
             last_layer=True,
             last_layer_path=path,
+            last_layer_dense=self._head_kind == "dense",
             feature_reduction=self.feature_reduction,
         )
 
@@ -119,6 +131,17 @@ class LLLaplace(ParametricLaplace):
             self.prior_precision = self._deferred_prior_precision
             self.prior_mean = self._deferred_prior_mean
             self._init_H()
+        elif getattr(self, "data", None) is None:
+            # explicit last_layer_name: resolve the head kind from a probe
+            # before any curvature runs (φ⊗I is only valid for Dense heads)
+            data = next(iter(train_loader))
+            X, _ = self._unpack_batch(data)
+            self.data = _probe(X)
+            kind = self._full_model.tap_kind(self.last_layer_path, self.data)
+            if kind is not None and kind != self._head_kind:
+                pp, pm, H = self.prior_precision, self.prior_mean, self.H
+                self._set_last_layer(self.last_layer_path)
+                self.prior_precision, self.prior_mean, self.H = pp, pm, H
         super().fit(train_loader, override=override, progress_bar=progress_bar,
                     key=key)
         self.mean = self.model.mean_vector
@@ -156,7 +179,12 @@ class LLLaplace(ParametricLaplace):
     def _nn_functional_samples(self, x, n_samples=100, key=None):
         """Sampled last-layer forward passes with cached features: φ is computed
         once, each posterior sample reruns only the Dense head
-        (reference `lllaplace.py:257-315`)."""
+        (reference `lllaplace.py:257-315`). Non-Dense heads fall back to the
+        generic sampled forward (swap sampled head params into the model)."""
+        if getattr(self, "_head_kind", "dense") != "dense":
+            return ParametricLaplace._nn_functional_samples(
+                self, x, n_samples, key
+            )
         key = self._next_key() if key is None else key
         _, phi = self.model.apply_with_features(
             self.model.train_params, _as_device(x), self.last_layer_path,
@@ -266,6 +294,8 @@ class KronLLLaplace(LLLaplace, KronLaplace):
 
         ``var[b,c] = Σ_ij (QAᵀφ_b)_i² (QB[c,:])_j² / D_ij + var_bias[c]``
         """
+        if getattr(self, "_head_kind", "dense") != "dense":
+            return LLLaplace.functional_variance_fast(self, x)
         f_mu, phi = self.model.apply_with_features(
             self.model.train_params, _as_device(x), self.last_layer_path,
             self.feature_reduction,
@@ -301,6 +331,8 @@ class DiagLLLaplace(LLLaplace, DiagLaplace):
         """O(b·k·d) diagonal output variance: φ²·σ²_W + σ²_b
         (reference `lllaplace.py:489-506`). Leaf order is (bias, kernel) with
         input-major kernel (d, k)."""
+        if getattr(self, "_head_kind", "dense") != "dense":
+            return LLLaplace.functional_variance_fast(self, x)
         f_mu, phi = self.model.apply_with_features(
             self.model.train_params, _as_device(x), self.last_layer_path,
             self.feature_reduction,

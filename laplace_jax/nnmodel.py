@@ -214,10 +214,26 @@ class NNModel:
         def interceptor(next_fun, args, kwargs, context):
             module = context.module
             if context.method_name != "__call__" or not isinstance(
-                module, (nn.Dense, nn.Conv) + _NORM_MODULES
+                module,
+                (nn.Dense, nn.Conv, nn.DenseGeneral, nn.Einsum) + _NORM_MODULES,
             ):
                 return next_fun(*args, **kwargs)
             path = tuple(module.path)
+            if isinstance(module, (nn.DenseGeneral, nn.Einsum)):
+                # Generalized linear layers (flax attention is built on
+                # DenseGeneral): normalize to the common "dense_general" tap —
+                # activation rows (B, T, K) flattened in the KERNEL's
+                # contracted-axis order, plus metadata to permute/flatten the
+                # output cotangent into kernel feature order. The torch
+                # reference captures these because torch attention decomposes
+                # into nn.Linear hooks (`curvature/curvlinops.py:55-75`).
+                out = next_fun(*args, **kwargs)
+                if offsets is not None and path in offsets:
+                    out = out + offsets[path]
+                tap = _general_linear_tap(module, args[0], out, path)
+                if tap is not None:
+                    taps.append(tap)
+                return out
             if isinstance(module, _NORM_MODULES):
                 # Norm layers: out = scale ∘ x̂ + bias. Tap the output (plus the
                 # additive offset, whose cotangent is the per-position output
@@ -350,13 +366,36 @@ class NNModel:
 
     # -- last layer ------------------------------------------------------------
     def find_last_layer(self, x) -> tuple:
-        """Path of the last executed Dense layer (auto-discovery parity with
-        `feature_extractor.py:159-216`)."""
+        """Path of the model's head layer for last-layer Laplace.
+
+        Prefers the last executed Dense (the φ⊗I closed-form fast path; the
+        reference *requires* a linear head, `feature_extractor.py:144-145`).
+        With no Dense present, falls back to the last executed parameterized
+        tapped layer of any kind (Conv / DenseGeneral / Einsum / norm) — the
+        generic-Jacobian last-layer path, beyond reference generality."""
         taps = self.linear_layer_paths(x)
         dense = [t for t in taps if t.kind == "dense"]
-        if not dense:
-            raise ValueError("No Dense layer found for last-layer Laplace.")
-        return dense[-1].path
+        if dense:
+            return dense[-1].path
+        for t in reversed(taps):
+            try:
+                self.last_layer_param_paths(t.path)
+                return t.path
+            except ValueError:
+                continue
+        raise ValueError(
+            "No Dense layer found for last-layer Laplace, and no other "
+            "parameterized tapped layer (Conv/DenseGeneral/Einsum/norm) to "
+            "fall back to."
+        )
+
+    def tap_kind(self, path: tuple, x) -> Optional[str]:
+        """Kind of the tapped layer at `path` ('dense' | 'conv' |
+        'dense_general' | 'norm'), or None if the path is not tapped."""
+        for t in self.linear_layer_paths(x):
+            if t.path == path:
+                return t.kind
+        return None
 
     def last_layer_param_paths(self, last_layer_path: tuple) -> list[tuple]:
         """Parameter-leaf paths (as string tuples) under the last layer."""
@@ -409,6 +448,96 @@ class NNModel:
             else:
                 raise ValueError(f"Invalid feature_reduction {feature_reduction}.")
         return f, feats
+
+
+def _general_linear_tap(module, a, out, path):
+    """Normalize a DenseGeneral / Einsum execution into a "dense_general" tap.
+
+    The tap stores activation rows as `patches` of shape (B, T, K) — K the
+    flattened contracted dims in KERNEL order, T the weight-sharing positions
+    per sample — plus cotangent metadata in `conv_spec`:
+
+    - ``n_feat``: number of trailing feature axes of the output cotangent
+      after permutation,
+    - ``g_perm`` / ``g_perm_bias``: permutation of the OUTPUT axes bringing
+      the feature axes last in kernel / bias flatten order (None = identity).
+
+    Returns None for configurations without a clean (K, O) Kronecker
+    factorization (DenseGeneral batch_dims, exotic einsum label layouts) —
+    the layer then falls to the unsupported/skip path.
+    """
+    if isinstance(module, nn.DenseGeneral):
+        if tuple(module.batch_dims or ()):
+            return None  # kernel carries batch axes: no A ⊗ B structure
+        features = module.features
+        features = (
+            tuple(features)
+            if isinstance(features, (tuple, list))
+            else (features,)
+        )
+        axis = module.axis
+        axis = tuple(axis) if isinstance(axis, (tuple, list)) else (axis,)
+        ndim = a.ndim
+        axis = tuple(ax % ndim for ax in axis)
+        if 0 in axis or len(set(axis)) != len(axis):
+            return None  # contracting the batch axis: not batch-additive
+        non_axis = tuple(i for i in range(ndim) if i not in axis)
+        K = 1
+        for ax in axis:
+            K *= a.shape[ax]
+        a_mat = jnp.transpose(a, non_axis + axis).reshape(a.shape[0], -1, K)
+        spec = {"n_feat": len(features), "g_perm": None, "g_perm_bias": None}
+        return LayerTap(path, a, out, "dense_general", spec, a_mat)
+
+    # nn.Einsum: einsum_str from the constructor or the call site
+    es = module.einsum_str
+    if es is None:
+        return None  # call-time einsum_str is not visible to the interceptor
+    es = es.replace(" ", "")
+    if "->" not in es or es.count(",") != 1 or "." in es:
+        return None
+    lhs_out, out_l = es.split("->")
+    lhs_l, rhs_l = lhs_out.split(",")
+    lhs_l, rhs_l, out_l = list(lhs_l), list(rhs_l), list(out_l)
+    if (
+        len(set(lhs_l)) != len(lhs_l)
+        or len(set(rhs_l)) != len(rhs_l)
+        or len(set(out_l)) != len(out_l)
+    ):
+        return None  # repeated (diagonal) labels
+    contracted = [c for c in rhs_l if c in lhs_l and c not in out_l]
+    feat = [c for c in rhs_l if c not in lhs_l]
+    # kernel labels must be exactly (contracted..., features...) in that
+    # order so the row-major kernel flatten equals A ⊗ B
+    if rhs_l != contracted + feat or not contracted or not feat:
+        return None
+    if any(c not in out_l for c in feat):
+        return None
+    lhs_keep = [c for c in lhs_l if c not in contracted]
+    out_nonfeat = [c for c in out_l if c not in feat]
+    # row correspondence between activation rows and gradient rows requires
+    # the kept lhs labels to appear in the same order in the output, with the
+    # batch label leading everywhere
+    if out_nonfeat != lhs_keep or not lhs_keep:
+        return None
+    if lhs_l[0] != lhs_keep[0] or out_l[0] != lhs_keep[0]:
+        return None
+    lhs_dims = {c: a.shape[i] for i, c in enumerate(lhs_l)}
+    K = 1
+    for c in contracted:
+        K *= lhs_dims[c]
+    perm_a = tuple(lhs_l.index(c) for c in lhs_keep + contracted)
+    a_mat = jnp.transpose(a, perm_a).reshape(a.shape[0], -1, K)
+    feat_out = [c for c in out_l if c in feat]  # bias flatten order
+    g_perm = tuple(out_l.index(c) for c in out_nonfeat + feat)
+    g_perm_bias = tuple(out_l.index(c) for c in out_nonfeat + feat_out)
+    identity = tuple(range(len(out_l)))
+    spec = {
+        "n_feat": len(feat),
+        "g_perm": None if g_perm == identity else g_perm,
+        "g_perm_bias": None if g_perm_bias == identity else g_perm_bias,
+    }
+    return LayerTap(path, a, out, "dense_general", spec, a_mat)
 
 
 def _collection_mask(variables):

@@ -16,12 +16,24 @@ from .utils import classification_data
 
 
 class NoDense(nn.Module):
-    """A model with no Dense layer at all — discovery must fail cleanly."""
+    """A model with no Dense layer — discovery falls back to the last
+    parameterized tapped layer (the Conv head), beyond the reference, which
+    requires a linear head (`feature_extractor.py:144-145`)."""
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(4, (2,), dtype=jnp.float64, param_dtype=jnp.float64)(x)
         return x.mean(axis=1)
+
+
+class NoTappedLayers(nn.Module):
+    """Only a bare self.param — nothing tapped, discovery must fail cleanly."""
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("w", nn.initializers.ones_init(), (x.shape[-1], 2),
+                       jnp.float64)
+        return (x @ w).mean(axis=1)
 
 
 class Nested(nn.Module):
@@ -61,8 +73,25 @@ def _loader(n=10):
     return ArrayLoader(np.asarray(X), np.asarray(y), batch_size=5), X
 
 
-def test_no_dense_model_raises():
+def test_no_dense_model_uses_conv_head():
+    """Conv-headed model: discovery picks the Conv, generic-Jacobian last
+    layer fits and predicts (VERDICT r2 item 7)."""
     model = NoDense()
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((4, 6, 3)))
+    params = model.init(jax.random.key(0), X)
+    nnm = NNModel.from_flax(model, params)
+    la = FullLLLaplace(nnm, "classification")
+    loader = ArrayLoader(np.asarray(X), np.zeros(4, dtype=int), batch_size=2)
+    la.fit(loader)
+    assert la._head_kind == "conv"
+    assert la.last_layer_path == ("Conv_0",)
+    p = la(X[:2])
+    assert np.allclose(np.asarray(p).sum(-1), 1, atol=1e-8)
+
+
+def test_no_tapped_layer_model_raises():
+    model = NoTappedLayers()
     X = jnp.ones((4, 6, 3), dtype=jnp.float64)
     params = model.init(jax.random.key(0), X)
     nnm = NNModel.from_flax(model, params)
