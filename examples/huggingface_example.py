@@ -38,9 +38,9 @@ class TinyTransformerClassifier(nn.Module):
         ids = batch["input_ids"]  # (B, T)
         mask = batch["attention_mask"]  # (B, T)
         x = nn.Embed(self.vocab, self.dim)(ids)
-        attn = nn.SelfAttention(num_heads=4, qkv_features=self.dim)(
-            x, mask=mask[:, None, None, :].astype(bool)
-        )
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=4, qkv_features=self.dim, deterministic=True
+        )(x, mask=mask[:, None, None, :].astype(bool))
         x = x + attn
         x = x + nn.Dense(self.dim)(jax.nn.gelu(nn.Dense(2 * self.dim)(x)[..., :self.dim]))
         # mean-pool over valid tokens, then classify
@@ -105,6 +105,23 @@ def main():
     probs_sub = la_sub(test, link_approx="probit")
     print(f"subnetwork ({len(idx)} params) predictive ok:",
           bool(np.isfinite(np.asarray(probs_sub)).all()))
+
+    # ALL-WEIGHTS diagonal Laplace over the whole transformer: the embedding,
+    # every attention projection (flax DenseGeneral), and the MLP all get
+    # exact tap diagonals — no (B, C, P) Jacobian is ever materialized and no
+    # layer falls back to the prior (the torch reference can only do this
+    # because torch attention decomposes into nn.Linear hooks;
+    # `laplace/curvature/curvlinops.py:55-75`)
+    la_all = Laplace(
+        nnm, "classification", subset_of_weights="all",
+        hessian_structure="diag", dict_key_x="input_ids", dict_key_y="labels",
+    )
+    la_all.fit(loader)
+    la_all.optimize_prior_precision(method="marglik", n_steps=30)
+    probs_all = la_all(test, link_approx="probit")
+    print(f"all-weights diag over {la_all.n_params} params "
+          f"(incl. embedding + attention):")
+    print(np.asarray(probs_all).round(3))
 
 
 if __name__ == "__main__":

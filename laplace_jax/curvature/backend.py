@@ -328,11 +328,12 @@ class CurvatureBackend:
 
     def _can_use_taps(self) -> bool:
         """Layer-tap fast paths need a flax module, whole-model scope, and all
-        trainable leaves living under intercepted Dense/Conv/norm layers."""
+        trainable leaves living under intercepted Dense/Conv/DenseGeneral/
+        Einsum/Embed/norm layers."""
         if self.model.module is None or self.subnetwork_indices is not None:
             return False
         return all(
-            s.path[-1] in ("kernel", "bias", "scale")
+            s.path[-1] in ("kernel", "bias", "scale", "embedding")
             for s in self.model.leaf_specs
         )
 

@@ -64,7 +64,8 @@ def diag_curvature_taps(
     if last_layer_path is not None:
         tap_shapes = [t for t in tap_shapes if t.path == last_layer_path]
     if not any(
-        t.kind in ("dense", "conv", "dense_general") for t in tap_shapes
+        t.kind in ("dense", "conv", "dense_general", "embed")
+        for t in tap_shapes
     ):
         raise TapUnsupported(
             "No Dense/Conv layers intercepted for diagonal curvature."
@@ -129,6 +130,27 @@ def diag_curvature_taps(
             a = t.inputs  # (B, I)
             kernel_diag[t.path] = jnp.einsum("bi,cbo->io", a**2, g**2)
             bias_diag[t.path] = jnp.einsum("cbo->o", g**2)
+        elif t.kind == "embed":
+            # per-sample embedding grad: rows of ids scatter-add their output
+            # cotangents; diag = Σ_{c,b} (scattered)²
+            ids = t.inputs  # (B, *pos)
+            V = t.conv_spec["num_embeddings"]
+            B = ids.shape[0]
+            ids2 = ids.reshape(B, -1)  # (B, T)
+            Cp = g.shape[0]
+            g2 = g.reshape(Cp, B, ids2.shape[1], g.shape[-1])  # (C', B, T, D)
+
+            def per_sample_embed(args):
+                ids_b, g_b = args  # (T,), (C', T, D)
+                G = jax.vmap(
+                    lambda gc: jax.ops.segment_sum(gc, ids_b, num_segments=V)
+                )(g_b)  # (C', V, D)
+                return (G**2).sum(0)
+
+            dE = jax.lax.map(
+                per_sample_embed, (ids2, jnp.swapaxes(g2, 0, 1)), batch_size=8
+            )
+            kernel_diag[t.path] = dE.sum(0)
         elif t.kind == "dense_general":
             # DenseGeneral / Einsum: activation rows pre-normalized to
             # (B, T, K) in kernel order; cotangents flattened per the tap's
@@ -230,7 +252,7 @@ def diag_curvature_taps(
                 raise ValueError(
                     f"Unsupported norm parameter role {role} for diag taps."
                 )
-        elif role == "kernel":
+        elif role in ("kernel", "embedding"):
             parts.append(kernel_diag[matched.path].ravel())
         elif role == "bias":
             parts.append(bias_diag[matched.path].ravel())

@@ -172,7 +172,8 @@ def kfac_factors(
         t for t in tap_shapes if t.kind != "norm" or want_norm_taps
     ]
     if not any(
-        t.kind in ("dense", "conv", "dense_general") for t in tap_shapes
+        t.kind in ("dense", "conv", "dense_general", "embed")
+        for t in tap_shapes
     ):
         raise ValueError("No Dense/Conv layers intercepted for KFAC.")
     # tie the zero offsets to x's device-varying-ness: under shard_map's
@@ -291,6 +292,16 @@ def kfac_factors(
             p = t.patches
             A_facs[t.path] = jnp.einsum("btk,btl->kl", p, p) / (N * p.shape[1])
             continue
+        if t.kind == "embed":
+            # one-hot activations: the Gram is diagonal with token counts
+            ids = t.inputs
+            V = t.conv_spec["num_embeddings"]
+            T = max(int(ids.size) // int(ids.shape[0]), 1)
+            counts = (
+                jnp.zeros((V,), dtype=dtype).at[ids.ravel()].add(1.0)
+            )
+            A_facs[t.path] = jnp.diag(counts) / (N * T)
+            continue
         if t.kind == "dense":
             a = t.inputs
             if a.ndim == 2:
@@ -340,6 +351,9 @@ def kfac_factors(
                     group = (
                         B_facs_bias.get(matched.path, B_facs[matched.path]),
                     )
+            elif matched.kind == "embed":
+                if role == "embedding":
+                    group = (A_facs[matched.path], B_facs[matched.path])
             elif matched.kind == "norm":
                 blk = norm_blocks.get((matched.path, role))
                 if blk is not None:

@@ -215,10 +215,21 @@ class NNModel:
             module = context.module
             if context.method_name != "__call__" or not isinstance(
                 module,
-                (nn.Dense, nn.Conv, nn.DenseGeneral, nn.Einsum) + _NORM_MODULES,
+                (nn.Dense, nn.Conv, nn.DenseGeneral, nn.Einsum, nn.Embed)
+                + _NORM_MODULES,
             ):
                 return next_fun(*args, **kwargs)
             path = tuple(module.path)
+            if isinstance(module, nn.Embed):
+                # Embedding lookup = one-hot(ids) @ embedding — a Dense layer
+                # with one-hot activations. The tap records the ids; curvature
+                # code builds the (sparse) activation statistics from them.
+                out = next_fun(*args, **kwargs)
+                if offsets is not None and path in offsets:
+                    out = out + offsets[path]
+                spec = {"num_embeddings": int(module.num_embeddings)}
+                taps.append(LayerTap(path, args[0], out, "embed", spec))
+                return out
             if isinstance(module, (nn.DenseGeneral, nn.Einsum)):
                 # Generalized linear layers (flax attention is built on
                 # DenseGeneral): normalize to the common "dense_general" tap —

@@ -246,6 +246,78 @@ def test_attention_loop_path_matches_scan():
     np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-10)
 
 
+# ----------------------------------------------------------------- embedding
+class _EmbedNet(nn.Module):
+    vocab: int = 11
+    dim: int = 6
+
+    @nn.compact
+    def __call__(self, ids):
+        x = nn.Embed(self.vocab, self.dim, param_dtype=jnp.float64)(ids)
+        x = jnp.tanh(x).mean(axis=1)
+        return nn.Dense(3, param_dtype=jnp.float64)(x)
+
+
+def _embed_setup(n=5, t=4):
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 11, (n, t)))
+    y = jnp.asarray(rng.integers(0, 3, n))
+    m = _EmbedNet()
+    p = m.init(jax.random.key(0), ids)
+    return m, p, ids, y
+
+
+def test_embed_diag_oracle():
+    """Embedding tap diagonal equals the naive Jacobian contraction."""
+    m, p, ids, y = _embed_setup()
+    be = CurvatureBackend(NNModel.from_flax(m, p), "classification")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _, d = be.diag(ids, y)
+    np.testing.assert_allclose(
+        np.asarray(d), np.asarray(_diag_oracle(be, ids)), atol=1e-12
+    )
+
+
+def test_embed_kfac_single_point_exact():
+    """One data point, one position: the embedding KFAC block (one-hot A ⊗
+    output-grad B) equals the exact GGN block."""
+    m, p, _, _ = _embed_setup()
+    be = CurvatureBackend(NNModel.from_flax(m, p), "classification")
+    rng = np.random.default_rng(1)
+    ids1 = jnp.asarray(rng.integers(0, 11, (1, 1)))
+    y1 = jnp.asarray([1])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _, kr = be.kron(ids1, y1, N=1)
+    Js, f = be.jacobians(ids1)
+    C = f.shape[-1]
+    sm = jax.nn.softmax(f, -1)
+    lam = jnp.einsum("bc,ck->bck", sm, jnp.eye(C)) - jnp.einsum(
+        "bc,bk->bck", sm, sm
+    )
+    H = jnp.einsum("bcp,bck,bkq->pq", Js, lam, Js)
+    P_embed = 11 * 6  # embedding leaf flattens last (alphabetical order)
+    np.testing.assert_allclose(
+        np.asarray(kr.to_matrix()[-P_embed:, -P_embed:]),
+        np.asarray(H[-P_embed:, -P_embed:]),
+        atol=1e-12,
+    )
+
+
+def test_embed_end_to_end_all_weights():
+    m, p, ids, y = _embed_setup(n=8)
+    loader = ArrayLoader(np.asarray(ids), np.asarray(y), batch_size=4)
+    for structure in ("diag", "kron"):
+        la = Laplace((m, p), "classification", subset_of_weights="all",
+                     hessian_structure=structure)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no skip warnings: Embed covered
+            la.fit(loader)
+        probs = la(ids[:3])
+        assert np.allclose(np.asarray(probs).sum(-1), 1, atol=1e-6)
+
+
 # ------------------------------------------------------- unsupported configs
 class _BatchDimsNet(nn.Module):
     @nn.compact
