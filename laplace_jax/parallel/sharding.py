@@ -84,13 +84,61 @@ def multihost_mesh(
 
     n_hosts = jax.process_count()
     devices = jax.devices()
+    if len(devices) % n_hosts != 0:
+        raise ValueError(
+            f"Non-uniform hosts: {len(devices)} devices across {n_hosts} "
+            "processes; a (DCN, ICI) mesh needs the same device count per "
+            "host."
+        )
     per_host = len(devices) // n_hosts
     grid = np.asarray(devices).reshape(n_hosts, per_host)
+    # same-host devices must be contiguous on the ICI axis (the default
+    # jax.devices() order groups by process, but verify — the psum layout
+    # and `_local_rows` batch blocks both rely on it)
+    for row in grid:
+        if len({d.process_index for d in row}) != 1:
+            raise ValueError(
+                "jax.devices() is not process-contiguous; cannot build a "
+                "host-aligned (DCN, ICI) mesh."
+            )
     return Mesh(grid, (dcn_axis, ici_axis))
 
 
 def _axis_tuple(axis_name) -> tuple:
     return tuple(axis_name) if isinstance(axis_name, (tuple, list)) else (axis_name,)
+
+
+def _is_multiprocess(mesh: Mesh) -> bool:
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def _local_rows(bsz: int) -> slice:
+    """This process's contiguous row block of a globally-batched array.
+
+    Contract for multi-process fits: every process's loader yields the SAME
+    global batch; each process contributes the rows owned by its devices.
+    `multihost_mesh` lays devices out process-contiguous in row-major order,
+    so the batch-axis blocks are process-contiguous too."""
+    n, i = jax.process_count(), jax.process_index()
+    per = bsz // n
+    return slice(i * per, (i + 1) * per)
+
+
+def _make_global(x, sharding, n_dev: int):
+    """Build a global batch-sharded array from the (identical) per-process
+    view of the global batch: slice the local rows, assemble via
+    `make_array_from_process_local_data` — the only legal way to construct a
+    cross-process array (device_put to non-addressable devices is not)."""
+
+    def one(v):
+        v = np.asarray(v)
+        return jax.make_array_from_process_local_data(
+            sharding, v[_local_rows(v.shape[0])], v.shape
+        )
+
+    if isinstance(x, Mapping):
+        return {k: one(v) for k, v in x.items()}
+    return one(x)
 
 
 def _batch_spec(mesh: Mesh, axis_name):
@@ -134,8 +182,25 @@ def shard_closure(
             return {k: v[sl] for k, v in x.items()}
         return x[sl]
 
+    multiprocess = _is_multiprocess(mesh)
+
     def call(params, x, y, N, key):
         bsz = _leading_dim(x)
+        if multiprocess:
+            # every process sees the same global batch and contributes its
+            # contiguous row block; remainders can't run unsharded (a plain
+            # per-process jit and a global program can't be mixed), so
+            # require divisibility
+            if bsz % n_dev != 0:
+                raise ValueError(
+                    f"Multi-process fit requires the batch size ({bsz}) to "
+                    f"be divisible by the global device count ({n_dev})."
+                )
+            if "mp" not in cache:
+                cache["mp"] = jax.jit(wrapped, out_shardings=repl)
+            xg = _make_global(x, batch_sharding, n_dev)
+            yg = _make_global(y, batch_sharding, n_dev)
+            return cache["mp"](params, xg, yg, jnp.asarray(N), key)
         main = (bsz // n_dev) * n_dev
         if main == 0:  # batch smaller than the mesh: run unsharded
             return plain(params, x, y, jnp.asarray(N), key)
@@ -219,6 +284,8 @@ def shard_map_closure(
         return fn(params, x, y, jnp.asarray(N), key)
 
     jitted = jax.jit(sharded)
+    multiprocess = _is_multiprocess(mesh)
+    bspec_global = _batch_spec(mesh, axis_name)
 
     def call(params, x, y, N, key):
         bsz = _leading_dim(x)
@@ -227,6 +294,9 @@ def shard_map_closure(
                 f"Batch size {bsz} not divisible by mesh size {n_dev}; use "
                 "shard_closure (XLA-annotated) for uneven batches."
             )
+        if multiprocess:
+            x = _make_global(x, bspec_global, n_dev)
+            y = _make_global(y, bspec_global, n_dev)
         return jitted(params, x, y, N, key)
 
     return call
@@ -267,7 +337,16 @@ class DataParallel:
     def shard_batch(self, x):
         """Place a test batch sharded over the data axis so downstream jitted
         predictives (Jacobians, GLM variance einsums) run data-parallel; batch
-        sizes not divisible by the mesh are left as-is."""
+        sizes not divisible by the mesh are left as-is (with a debug log, so
+        silently-slower predictives are diagnosable). In a multi-process
+        runtime the batch is left process-local: predictive outputs must stay
+        host-addressable for the eager link functions."""
+        import logging
+
+        if _is_multiprocess(self.mesh):
+            if isinstance(x, Mapping):
+                return {k: jnp.asarray(v) for k, v in x.items()}
+            return jnp.asarray(x)
         sharding = _batch_spec(self.mesh, self.axis_name)
         n_dev = int(
             np.prod([self.mesh.shape[a] for a in _axis_tuple(self.axis_name)])
@@ -275,6 +354,11 @@ class DataParallel:
 
         def put(v):
             if v.shape[0] % n_dev != 0:
+                logging.debug(
+                    "DataParallel.shard_batch: batch size %d not divisible by "
+                    "mesh size %d; running this batch unsharded.",
+                    v.shape[0], n_dev,
+                )
                 return v
             return jax.device_put(v, sharding)
 

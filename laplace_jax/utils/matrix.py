@@ -115,6 +115,16 @@ def _device_list(devices):
     return local if local else devices[:1]
 
 
+def _local_view(x):
+    """A process-local view of a (fully replicated) global array — global
+    arrays cannot be device_put to a single local device directly. Factors
+    reaching decompose under a multi-process mesh are replicated, so one
+    addressable shard is the whole value."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return x.addressable_data(0)
+    return x
+
+
 def _group_sizes(kfacs) -> list[int]:
     """Flattened parameter count of each factor group."""
     sizes = []
@@ -304,13 +314,24 @@ class Kron:
 
         # gather target: replicate over the mesh when one is given so the
         # results compose with mesh-replicated fit state (mixing arrays
-        # committed to one device with replicated ones is a placement error)
+        # committed to one device with replicated ones is a placement error).
+        # On a multi-process mesh, device_put of a committed local array to a
+        # global sharding would be a cross-host transfer (unsupported without
+        # DCN transfer sockets); every process computed identical results, so
+        # replicating identical host values is both legal and transfer-free.
+        multiproc = False
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             default = NamedSharding(mesh, PartitionSpec())
+            multiproc = len({d.process_index for d in mesh.devices.flat}) > 1
         else:
             default = jax.devices()[0]
+
+        def _gather(v):
+            if multiproc:
+                v = np.asarray(v)
+            return jax.device_put(v, default)
         results = {}
         flag_parts, flag_keys = [], []
         pending = []
@@ -321,17 +342,20 @@ class Kron:
                     (Hi.shape, jnp.dtype(Hi.dtype)), []
                 ).append((gi, fi, Hi))
             for (_, _dt), its in by_shape.items():
-                stack = jax.device_put(
-                    jnp.stack([Hi for _, _, Hi in its]), dev_list[d]
+                stack = jnp.stack(
+                    [
+                        jax.device_put(_local_view(Hi), dev_list[d])
+                        for _, _, Hi in its
+                    ]
                 )
                 # committed input: the jitted eigh runs on that device; all
                 # dispatches are asynchronous, so devices work concurrently
                 ls, Qs, flags = _batched_eigh_clipped(stack)
                 pending.append((its, ls, Qs, flags))
         for its, ls, Qs, flags in pending:
-            ls = jax.device_put(ls, default)
-            Qs = jax.device_put(Qs, default)
-            flag_parts.append(jax.device_put(flags, default))
+            ls = _gather(ls)
+            Qs = _gather(Qs)
+            flag_parts.append(_gather(flags))
             for j, (gi, fi, _) in enumerate(its):
                 results[(gi, fi)] = (ls[j], Qs[j])
                 flag_keys.append((gi, fi))

@@ -1,0 +1,93 @@
+"""Multi-process worker for test_multiprocess.py.
+
+Run as: python tests/mp_worker.py <port> <process_id> <mode>
+
+Initializes a real 2-process jax.distributed runtime (4 virtual CPU devices
+per process), builds the (2, 4) DCN x ICI `multihost_mesh`, runs a
+`DataParallel` KronLaplace + DiagLaplace fit over it, and asserts the
+posterior equals the single-process (parallel=None) fit computed in the same
+process. Exercises the code path SURVEY.md §2.6 promised: cross-process
+curvature psums over the gloo collective backend.
+"""
+
+import os
+import sys
+
+port, pid, mode = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from laplace_jax import Laplace
+from laplace_jax.parallel import DataParallel, multihost_mesh
+from laplace_jax.utils.data import ArrayLoader
+
+import flax.linen as nn
+
+
+class MLP(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(16, param_dtype=jnp.float64)(x)
+        x = jnp.tanh(x)
+        return nn.Dense(3, param_dtype=jnp.float64)(x)
+
+
+def main():
+    mesh = multihost_mesh(
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert mesh.shape == {"replica": 2, "data": 4}, mesh.shape
+
+    # identical data/model on every process (the multi-process contract)
+    rng = np.random.default_rng(0)
+    X = np.asarray(rng.standard_normal((32, 5)))
+    y = np.asarray(rng.integers(0, 3, 32))
+    model = MLP()
+    params = model.init(jax.random.key(0), jnp.asarray(X[:1]))
+    loader = ArrayLoader(X, y, batch_size=16)
+
+    dp = DataParallel(mesh, axis_name=("replica", "data"),
+                      explicit=(mode == "explicit"))
+
+    for structure in ("kron", "diag"):
+        la_mp = Laplace((model, params), "classification",
+                        subset_of_weights="all", hessian_structure=structure,
+                        parallel=dp)
+        la_mp.fit(loader)
+        la_ref = Laplace((model, params), "classification",
+                         subset_of_weights="all", hessian_structure=structure)
+        la_ref.fit(loader)
+
+        if structure == "kron":
+            H_mp = np.asarray(la_mp.H_facs.to_matrix())
+            H_ref = np.asarray(la_ref.H_facs.to_matrix())
+        else:
+            H_mp = np.asarray(la_mp.H)
+            H_ref = np.asarray(la_ref.H)
+        np.testing.assert_allclose(H_mp, H_ref, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(
+            float(la_mp.loss), float(la_ref.loss), rtol=1e-10
+        )
+
+        # marginal likelihood through the distributed posterior
+        ml_mp = float(la_mp.log_marginal_likelihood())
+        ml_ref = float(la_ref.log_marginal_likelihood())
+        np.testing.assert_allclose(ml_mp, ml_ref, rtol=1e-8)
+
+    print(f"MP_WORKER_OK pid={pid} mode={mode}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
