@@ -1,0 +1,216 @@
+"""Batched blocked Householder tridiagonalization (stage 1 of the two-stage
+symmetric eigensolver) + WY-blocked application of the accumulated Q.
+
+TPU-native LAPACK `sytrd`/`orgtr` replacement for the KFAC decompose epilogue
+(reference math preserved: `/root/reference/laplace/utils/matrix.py:123-150`
+consumes plain `eigh` results). Design notes:
+
+- Batched over a leading K axis (same-shape KFAC factors decompose together).
+- LATRD-style panels: within a panel of `nb` columns only skinny matvecs and
+  rank-2 corrections run; the trailing matrix is touched once per panel by a
+  rank-2nb update (matmul). The memory traffic is the classical ~n^3/3
+  elements of symmetric matvec reads — the HBM-bandwidth-bound floor.
+- Static shapes via WINDOW CLASSES: panels are grouped into `n_classes`
+  windows of static size; each class body is one `lax.fori_loop` over its
+  panels (inner `fori_loop` over columns), so the HLO holds ~n_classes
+  compiled segments instead of n/nb. Out-of-window rows are masked by global
+  row index.
+- Everything is jit-compatible with no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["tridiagonalize", "apply_q"]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "n_classes"))
+def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
+    """Reduce a batch of symmetric matrices to tridiagonal form.
+
+    Parameters
+    ----------
+    A : (K, n, n) symmetric (only referenced symmetrically).
+
+    Returns
+    -------
+    d : (K, n) diagonal of T
+    e : (K, n-1) sub-diagonal of T
+    V : (K, n_pad, n) Householder vectors; column j has support on rows
+        j+1..n-1 with the leading nonzero normalized to 1.
+    taus : (K, n) reflector scalars (tau[j] = 0 for trivial reflectors).
+
+    Convention: T = H_last ... H_0 A H_0 ... H_last with H_j = I - tau_j v_j
+    v_j^T, so A = Q T Q^T with Q = H_0 H_1 ... H_last (see `apply_q`).
+    """
+    K, n, _ = A.shape
+    dtype = A.dtype
+    if n <= 2:
+        d = jnp.diagonal(A, axis1=1, axis2=2)
+        e = (
+            A[:, 1:, 0].reshape(K, max(n - 1, 0))
+            if n == 2
+            else jnp.zeros((K, max(n - 1, 0)), dtype)
+        )
+        V = jnp.zeros((K, n, n), dtype)
+        taus = jnp.zeros((K, n), dtype)
+        return d, e, V, taus
+
+    nb = max(8, min(nb, n))
+    # class granularity: a multiple of nb, ~n/n_classes
+    S = max(nb, _cdiv(_cdiv(n, n_classes), nb) * nb)
+    n_pad = _cdiv(n, S) * S
+    Ap = jnp.zeros((K, n_pad, n_pad), dtype).at[:, :n, :n].set(A)
+
+    d = jnp.zeros((K, n_pad), dtype)
+    e = jnp.zeros((K, n_pad), dtype)
+    V = jnp.zeros((K, n_pad, n), dtype)
+    taus = jnp.zeros((K, n), dtype)
+    eps_tiny = jnp.asarray(
+        jnp.finfo(dtype).tiny * 1e4 if dtype != jnp.float64 else 1e-290, dtype
+    )
+
+    n_cols = n - 2  # columns needing reflectors: j = 0..n-3
+    row_idx_full = jnp.arange(n_pad)
+
+    q = 0
+    while q < n_cols:
+        m = n_pad - q  # window size (static)
+        Aw = jax.lax.dynamic_slice(Ap, (0, q, q), (K, m, m))
+        rows_w = row_idx_full[:m]  # window-relative row ids
+        # panels fully inside this class: starts q, q+nb, ... < min(q+S, n_cols)
+        n_panels = _cdiv(min(S, n_cols - q), nb)
+
+        def class_body(t, carry, q=q, m=m, rows_w=rows_w):
+            Aw, d, e, V, taus = carry
+            off = t * nb  # window-relative panel offset
+            U = jnp.zeros((K, m, nb), dtype)
+            W = jnp.zeros((K, m, nb), dtype)
+
+            def col_body(j, inner):
+                Aw_c, U, W, d, e, V, taus = inner
+                c = off + j  # window-relative column
+                jg = q + c  # global column
+                # corrected column c: A[:, c] - U W^T[., c] - W U^T[., c]
+                col = jax.lax.dynamic_slice(Aw_c, (0, 0, c), (K, m, 1))[..., 0]
+                u_row = jax.lax.dynamic_slice(U, (0, c, 0), (K, 1, nb))[:, 0, :]
+                w_row = jax.lax.dynamic_slice(W, (0, c, 0), (K, 1, nb))[:, 0, :]
+                col = (
+                    col
+                    - jnp.einsum("kmb,kb->km", U, w_row)
+                    - jnp.einsum("kmb,kb->km", W, u_row)
+                )
+                valid = (rows_w[None, :] + q) < n  # real (unpadded) rows
+                col = jnp.where(valid, col, 0.0)
+                d = jax.lax.dynamic_update_slice(d, col[:, None, 0] * 0 + jnp.take_along_axis(col, jnp.full((K, 1), c), axis=1), (0, jg))
+                # Householder on rows > c of the corrected column
+                below = rows_w[None, :] > c
+                x = jnp.where(below, col, 0.0)
+                alpha = jnp.take_along_axis(col, jnp.full((K, 1), c + 1), axis=1)[:, 0]
+                xnorm2 = jnp.sum(x * x, axis=1) - alpha * alpha
+                xnorm2 = jnp.maximum(xnorm2, 0.0)
+                anorm = jnp.sqrt(alpha * alpha + xnorm2)
+                sign = jnp.where(alpha >= 0, 1.0, -1.0).astype(dtype)
+                beta = -sign * anorm
+                trivial = xnorm2 <= eps_tiny * anorm * anorm
+                denom = jnp.where(trivial, 1.0, alpha - beta)
+                tau = jnp.where(trivial, 0.0, (beta - alpha) / beta)
+                v = jnp.where(below, x / denom[:, None], 0.0)
+                v = v.at[:, :].set(
+                    jnp.where(rows_w[None, :] == c + 1, 1.0, v)
+                )
+                v = jnp.where(below, v, 0.0)
+                e_val = jnp.where(trivial, alpha, beta)
+                e = jax.lax.dynamic_update_slice(e, e_val[:, None], (0, jg))
+                taus = jax.lax.dynamic_update_slice(taus, tau[:, None], (0, jg))
+                V = jax.lax.dynamic_update_slice(
+                    V, v[:, :, None], (0, q, jg)
+                )
+                # w = tau (A v - U (W^T v) - W (U^T v)); then
+                # w -= 0.5 tau (w^T v) v
+                Av = jnp.einsum("kmn,kn->km", Aw_c, v)
+                Av = (
+                    Av
+                    - jnp.einsum("kmb,kb->km", U, jnp.einsum("kmb,km->kb", W, v))
+                    - jnp.einsum("kmb,kb->km", W, jnp.einsum("kmb,km->kb", U, v))
+                )
+                w = tau[:, None] * Av
+                w = w - (0.5 * tau * jnp.sum(w * v, axis=1))[:, None] * v
+                w = jnp.where(below, w, 0.0)
+                U = jax.lax.dynamic_update_slice(U, v[:, :, None], (0, 0, j))
+                W = jax.lax.dynamic_update_slice(W, w[:, :, None], (0, 0, j))
+                return Aw_c, U, W, d, e, V, taus
+
+            n_cols_here = jnp.minimum(nb, n_cols - (q + off))
+            Aw, U, W, d, e, V, taus = jax.lax.fori_loop(
+                0, n_cols_here, col_body, (Aw, U, W, d, e, V, taus)
+            )
+            # rank-2nb trailing update: A <- A - U W^T - W U^T
+            Aw = (
+                Aw
+                - jnp.einsum("kmb,knb->kmn", U, W)
+                - jnp.einsum("kmb,knb->kmn", W, U)
+            )
+            return (Aw, d, e, V, taus)
+
+        Aw, d, e, V, taus = jax.lax.fori_loop(
+            0, n_panels, class_body, (Aw, d, e, V, taus)
+        )
+        Ap = jax.lax.dynamic_update_slice(Ap, Aw, (0, q, q))
+        q += S
+
+    # trailing 2x2 block: d[n-2], d[n-1], e[n-2]
+    d = d.at[:, n - 2].set(Ap[:, n - 2, n - 2])
+    d = d.at[:, n - 1].set(Ap[:, n - 1, n - 1])
+    e = e.at[:, n - 2].set(Ap[:, n - 1, n - 2])
+    return d[:, :n], e[:, : n - 1], V, taus
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def apply_q(V: jnp.ndarray, taus: jnp.ndarray, S: jnp.ndarray, nb: int = 64):
+    """Compute Q @ S with Q = H_0 H_1 ... H_{n-3} from `tridiagonalize`.
+
+    Uses the compact WY form per panel (T built by the forward recurrence),
+    applying panels in reverse order: Q S = P_0 (P_1 (... (P_last S))).
+    `S` is (K, n, c); returns (K, n, c).
+    """
+    K, n_pad, n = V.shape
+    dtype = V.dtype
+    Sc = S.shape[-1]
+    out = jnp.zeros((K, n_pad, Sc), dtype).at[:, :n, :].set(S)
+    n_cols = max(n - 2, 0)
+    if n_cols == 0:
+        return out[:, :n, :]
+    starts = list(range(0, n_cols, nb))
+
+    for p in reversed(starts):
+        w = min(nb, n_cols - p)
+        Vp = jax.lax.dynamic_slice(V, (0, 0, p), (K, n_pad, w))
+        tp = jax.lax.dynamic_slice(taus, (0, p), (K, w))
+        # forward-product T: T[j,j] = tau_j; T[:j,j] = -tau_j T[:j,:j] (Vp^T v_j)
+        G = jnp.einsum("kmi,kmj->kij", Vp, Vp)  # (K, w, w) Gram
+
+        def t_body(j, T):
+            gcol = jax.lax.dynamic_slice(G, (0, 0, j), (K, w, 1))[..., 0]
+            tj = jax.lax.dynamic_slice(tp, (0, j), (K, 1))[:, 0]
+            mask = jnp.arange(w)[None, :] < j
+            tcol = -tj[:, None] * jnp.einsum(
+                "kij,kj->ki", T, jnp.where(mask, gcol, 0.0)
+            )
+            tcol = jnp.where(mask, tcol, 0.0)
+            tcol = jnp.where(jnp.arange(w)[None, :] == j, tj[:, None], tcol)
+            return jax.lax.dynamic_update_slice(T, tcol[:, :, None], (0, 0, j))
+
+        T = jax.lax.fori_loop(0, w, t_body, jnp.zeros((K, w, w), dtype))
+        # P S = S - V T (V^T S)
+        VtS = jnp.einsum("kmi,kmc->kic", Vp, out)
+        out = out - jnp.einsum("kmi,kic->kmc", Vp, jnp.einsum("kij,kjc->kic", T, VtS))
+    return out[:, :n, :]
