@@ -38,6 +38,7 @@ from laplace_jax.utils.data import dataset_size
 from laplace_jax.utils.linalg import invsqrt_precision, normal_samples
 from laplace_jax.utils.matrix import Kron, KronDecomposed
 from laplace_jax.utils.prior import fix_prior_prec_structure
+from laplace_jax.utils.tracecount import TRACE_COUNTS
 
 __all__ = [
     "BaseLaplace",
@@ -688,6 +689,7 @@ class ParametricLaplace(BaseLaplace):
         if getattr(self, "_scan_fit_fn", None) is None:
 
             def scan_fit(params, xs, ys, N, key):
+                TRACE_COUNTS["scan_fit"] += 1  # trace-time only
                 with _swap_params(self.model, params):
                     x0 = jax.tree_util.tree_map(lambda v: v[0], xs)
                     shapes = jax.eval_shape(

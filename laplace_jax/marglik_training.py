@@ -26,6 +26,7 @@ from laplace_jax.laplace import Laplace
 from laplace_jax.nnmodel import NNModel
 from laplace_jax.utils.data import dataset_size
 from laplace_jax.utils.flatten import tree_to_vector
+from laplace_jax.utils.tracecount import TRACE_COUNTS
 from laplace_jax.utils.prior import (
     expand_prior_precision_sizes,
     fix_prior_prec_structure,
@@ -182,6 +183,7 @@ def marglik_training(
 
         @jax.jit
         def run(hp, state, H, loss, mean):
+            TRACE_COUNTS["hyper_run"] += 1  # trace-time only
             def body(carry, _):
                 hp, state = carry
                 val, g = jax.value_and_grad(neg_marglik)(hp, H, loss, mean)

@@ -15,6 +15,17 @@ consumes plain `eigh` results). Design notes:
   panels (inner `fori_loop` over columns), so the HLO holds ~n_classes
   compiled segments instead of n/nb. Out-of-window rows are masked by global
   row index.
+- NO batched matvecs / batched small-free-dim contractions anywhere on the
+  hot path. XLA's TPU layout assignment lowers a batch-K dot_general matvec
+  (and the equivalent multiply+reduce) to a form with the K axis in the
+  128-lane minor dimension, which forces a 128/K-padded relayout COPY of the
+  big (K, m, m) operand — measured 42.7x HBM blow-up (10.1 GiB for a 243 MiB
+  trailing block) at K=3, an instant OOM. Instead every contraction is
+  folded to a single canonical 2-D matmul: big operands are reshaped
+  (K, m, n) -> (K*m, n) (free reshape), small operands are embedded
+  block-diagonally (`_bdiag`), and per-batch results are read off block rows
+  or the block diagonal. The K-fold FLOP overhead is irrelevant because
+  these ops are HBM-bound on reading the big operand.
 - Everything is jit-compatible with no data-dependent shapes.
 """
 
@@ -30,6 +41,33 @@ __all__ = ["tridiagonalize", "apply_q"]
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _bdiag(X: jnp.ndarray) -> jnp.ndarray:
+    """Block-diagonal embedding: (K, m, w) -> (K*m, K*w) with block k on the
+    diagonal. Costs K x the (small) operand's memory; buys a canonical 2-D
+    matmul in place of a layout-hostile batched contraction."""
+    K, m, w = X.shape
+    eye = jnp.eye(K, dtype=X.dtype)
+    return (eye[:, None, :, None] * X[:, :, None, :]).reshape(K * m, K * w)
+
+
+def _bmv(A: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched matvec (K, m, n) @ (K, n) -> (K, m) via one folded 2-D matmul
+    (see module docstring for why dot_general/multiply+reduce are banned)."""
+    K, m, n = A.shape
+    P = (A.reshape(K * m, n) @ v.T).reshape(K, m, K)
+    idx = jnp.arange(K)[:, None, None]
+    return jnp.take_along_axis(P, idx, axis=2)[..., 0]
+
+
+def _bmv_t(A: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched transposed matvec sum_i A[k,i,j] v[k,i] -> (K, n) via one
+    folded 2-D matmul: block-structured v rows against (K*m, n)."""
+    K, m, n = A.shape
+    eye = jnp.eye(K, dtype=A.dtype)
+    vb = (eye[:, :, None] * v[None, :, :]).reshape(K, K * m)
+    return vb @ A.reshape(K * m, n)
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "n_classes"))
@@ -103,14 +141,14 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
                 col = jax.lax.dynamic_slice(Aw_c, (0, 0, c), (K, m, 1))[..., 0]
                 u_row = jax.lax.dynamic_slice(U, (0, c, 0), (K, 1, nb))[:, 0, :]
                 w_row = jax.lax.dynamic_slice(W, (0, c, 0), (K, 1, nb))[:, 0, :]
-                col = (
-                    col
-                    - jnp.einsum("kmb,kb->km", U, w_row)
-                    - jnp.einsum("kmb,kb->km", W, u_row)
-                )
+                col = col - _bmv(U, w_row) - _bmv(W, u_row)
                 valid = (rows_w[None, :] + q) < n  # real (unpadded) rows
                 col = jnp.where(valid, col, 0.0)
-                d = jax.lax.dynamic_update_slice(d, col[:, None, 0] * 0 + jnp.take_along_axis(col, jnp.full((K, 1), c), axis=1), (0, jg))
+                d = jax.lax.dynamic_update_slice(
+                    d,
+                    jnp.take_along_axis(col, jnp.full((K, 1), c), axis=1),
+                    (0, jg),
+                )
                 # Householder on rows > c of the corrected column
                 below = rows_w[None, :] > c
                 x = jnp.where(below, col, 0.0)
@@ -136,12 +174,10 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
                 )
                 # w = tau (A v - U (W^T v) - W (U^T v)); then
                 # w -= 0.5 tau (w^T v) v
-                Av = jnp.einsum("kmn,kn->km", Aw_c, v)
-                Av = (
-                    Av
-                    - jnp.einsum("kmb,kb->km", U, jnp.einsum("kmb,km->kb", W, v))
-                    - jnp.einsum("kmb,kb->km", W, jnp.einsum("kmb,km->kb", U, v))
-                )
+                Av = _bmv(Aw_c, v)
+                Wv = _bmv_t(W, v)
+                Uv = _bmv_t(U, v)
+                Av = Av - _bmv(U, Wv) - _bmv(W, Uv)
                 w = tau[:, None] * Av
                 w = w - (0.5 * tau * jnp.sum(w * v, axis=1))[:, None] * v
                 w = jnp.where(below, w, 0.0)
@@ -153,12 +189,13 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
             Aw, U, W, d, e, V, taus = jax.lax.fori_loop(
                 0, n_cols_here, col_body, (Aw, U, W, d, e, V, taus)
             )
-            # rank-2nb trailing update: A <- A - U W^T - W U^T
-            Aw = (
-                Aw
-                - jnp.einsum("kmb,knb->kmn", U, W)
-                - jnp.einsum("kmb,knb->kmn", W, U)
-            )
+            # rank-2nb trailing update A <- A - U W^T - W U^T, folded to 2-D:
+            # block rows of (bdiag(U) @ stacked-W^T) are exactly U_k W_k^T
+            Ub = _bdiag(U)
+            Wb = _bdiag(W)
+            Wt = W.transpose(0, 2, 1).reshape(K * nb, m)
+            Ut = U.transpose(0, 2, 1).reshape(K * nb, m)
+            Aw = (Aw.reshape(K * m, m) - Ub @ Wt - Wb @ Ut).reshape(K, m, m)
             return (Aw, d, e, V, taus)
 
         Aw, d, e, V, taus = jax.lax.fori_loop(
@@ -180,7 +217,9 @@ def apply_q(V: jnp.ndarray, taus: jnp.ndarray, S: jnp.ndarray, nb: int = 64):
 
     Uses the compact WY form per panel (T built by the forward recurrence),
     applying panels in reverse order: Q S = P_0 (P_1 (... (P_last S))).
-    `S` is (K, n, c); returns (K, n, c).
+    `S` is (K, n, c); returns (K, n, c). The big products run as folded 2-D
+    matmuls (module docstring); panels are padded with tau=0 (identity)
+    reflectors to a uniform width so one `fori_loop` covers them all.
     """
     K, n_pad, n = V.shape
     dtype = V.dtype
@@ -189,28 +228,39 @@ def apply_q(V: jnp.ndarray, taus: jnp.ndarray, S: jnp.ndarray, nb: int = 64):
     n_cols = max(n - 2, 0)
     if n_cols == 0:
         return out[:, :n, :]
-    starts = list(range(0, n_cols, nb))
+    n_blocks = _cdiv(n_cols, nb)
+    ncp = n_blocks * nb
+    Vp_all = jnp.zeros((K, n_pad, ncp), dtype).at[:, :, :n_cols].set(
+        V[:, :, :n_cols]
+    )
+    tp_all = jnp.zeros((K, ncp), dtype).at[:, :n_cols].set(taus[:, :n_cols])
 
-    for p in reversed(starts):
-        w = min(nb, n_cols - p)
-        Vp = jax.lax.dynamic_slice(V, (0, 0, p), (K, n_pad, w))
-        tp = jax.lax.dynamic_slice(taus, (0, p), (K, w))
+    def panel_body(i, out_flat):
+        p = (n_blocks - 1 - i) * nb
+        Vp = jax.lax.dynamic_slice(Vp_all, (0, 0, p), (K, n_pad, nb))
+        tp = jax.lax.dynamic_slice(tp_all, (0, p), (K, nb))
+        Vb = _bdiag(Vp)  # (K*n_pad, K*nb)
         # forward-product T: T[j,j] = tau_j; T[:j,j] = -tau_j T[:j,:j] (Vp^T v_j)
-        G = jnp.einsum("kmi,kmj->kij", Vp, Vp)  # (K, w, w) Gram
+        G = (Vb.T @ Vp.reshape(K * n_pad, nb)).reshape(K, nb, nb)
 
         def t_body(j, T):
-            gcol = jax.lax.dynamic_slice(G, (0, 0, j), (K, w, 1))[..., 0]
+            gcol = jax.lax.dynamic_slice(G, (0, 0, j), (K, nb, 1))[..., 0]
             tj = jax.lax.dynamic_slice(tp, (0, j), (K, 1))[:, 0]
-            mask = jnp.arange(w)[None, :] < j
+            mask = jnp.arange(nb)[None, :] < j
             tcol = -tj[:, None] * jnp.einsum(
                 "kij,kj->ki", T, jnp.where(mask, gcol, 0.0)
             )
             tcol = jnp.where(mask, tcol, 0.0)
-            tcol = jnp.where(jnp.arange(w)[None, :] == j, tj[:, None], tcol)
+            tcol = jnp.where(jnp.arange(nb)[None, :] == j, tj[:, None], tcol)
             return jax.lax.dynamic_update_slice(T, tcol[:, :, None], (0, 0, j))
 
-        T = jax.lax.fori_loop(0, w, t_body, jnp.zeros((K, w, w), dtype))
-        # P S = S - V T (V^T S)
-        VtS = jnp.einsum("kmi,kmc->kic", Vp, out)
-        out = out - jnp.einsum("kmi,kic->kmc", Vp, jnp.einsum("kij,kjc->kic", T, VtS))
-    return out[:, :n, :]
+        T = jax.lax.fori_loop(0, nb, t_body, jnp.zeros((K, nb, nb), dtype))
+        # P S = S - V T (V^T S), all folded 2-D
+        VtS = Vb.T @ out_flat  # (K*nb, Sc), block rows = Vp_k^T S_k
+        X = _bdiag(T) @ VtS  # (K*nb, Sc)
+        return out_flat - Vb @ X
+
+    out_flat = jax.lax.fori_loop(
+        0, n_blocks, panel_body, out.reshape(K * n_pad, Sc)
+    )
+    return out_flat.reshape(K, n_pad, Sc)[:, :n, :]

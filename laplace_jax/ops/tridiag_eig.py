@@ -1,0 +1,484 @@
+"""Batched tridiagonal divide-and-conquer eigensolver (stage 2 of the
+two-stage symmetric eigensolver) + the full `eigh_stack_ts` driver.
+
+TPU-native LAPACK `stedc` replacement. Combined with
+`laplace_jax.ops.tridiag` (stage-1 Householder reduction) this gives the
+classical ~O(n^3) eigendecomposition path for the KFAC decompose epilogue
+(reference math consumed downstream: `/root/reference/laplace/utils/
+matrix.py:123-150`), replacing XLA's serial-agenda QDWH spectral D&C whose
+~60-100 n^3 FLOP budget dominates the fit wall.
+
+Design (everything batched over K same-size factors, static shapes, no
+data-dependent control flow):
+
+- Cuppen splitting with ALL rank-one diagonal corrections applied up front
+  (every base-block boundary is the split point of exactly one merge).
+- Base case: batched cyclic Jacobi with a round-robin tournament ordering —
+  every (K * n/m0) block rotates simultaneously; rotations are applied as
+  dense (m0, m0) orthogonal matmuls so the MXU does the work. This avoids
+  TPU's `lax.map`-serialized small batched eigh.
+- Merge: LAPACK laed2/laed3-equivalent deflation done BRANCHLESSLY:
+  runs of nearly-equal poles are found with segmented cumsums, the chained
+  Givens deflation matrix has a closed form (progressive-orthogonalization
+  columns) built with broadcast masks, and the secular equation for the
+  surviving poles is solved by origin-selected bisection + Newton polish.
+  Eigenvector orthogonality comes from the Gu-Eisenstat z-recomputation, so
+  no reorthogonalization pass is needed.
+- The back-transform (`apply_q`) and merge products are plain batched
+  matmuls — the O(n^3) work all lands on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laplace_jax.ops.tridiag import apply_q, tridiagonalize
+
+__all__ = ["tridiag_eigh", "eigh_stack_ts"]
+
+
+def _round_robin_schedule(m: int) -> np.ndarray:
+    """Tournament ordering: (m-1) rounds of m/2 disjoint pairs covering all
+    index pairs once (m even; caller pads). Returns (rounds, m/2, 2)."""
+    players = list(range(m))
+    rounds = []
+    for _ in range(m - 1):
+        pairs = [
+            (min(players[i], players[m - 1 - i]),
+             max(players[i], players[m - 1 - i]))
+            for i in range(m // 2)
+        ]
+        rounds.append(pairs)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return np.asarray(rounds, dtype=np.int32)
+
+
+def _jacobi_eigh(A: jnp.ndarray, sweeps: int = 12):
+    """Batched cyclic Jacobi for small symmetric blocks (B, m, m).
+
+    All blocks and all disjoint pairs of a tournament round rotate at once;
+    each round is two (B, m, m) matmuls with an explicitly assembled sparse
+    rotation matrix. Returns ascending (vals (B, m), vecs (B, m, m))."""
+    B, m, _ = A.shape
+    dtype = A.dtype
+    if m == 1:
+        return A[:, :, 0], jnp.ones((B, 1, 1), dtype)
+    mp = m + (m % 2)
+    if mp != m:  # pad with a decoupled zero row/col
+        A = jnp.zeros((B, mp, mp), dtype).at[:, :m, :m].set(A)
+    sched = jnp.asarray(_round_robin_schedule(mp))  # (R, mp/2, 2)
+    R = sched.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(mp, dtype=dtype), (B, mp, mp))
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny * 1e6, dtype)
+
+    def round_body(r, state, sched=sched):
+        A, V = state
+        pq = sched[r]  # (mp/2, 2)
+        p, q = pq[:, 0], pq[:, 1]
+        app = A[:, p, p]
+        aqq = A[:, q, q]
+        apq = A[:, p, q]
+        # classic two-sided Jacobi rotation angles, batched over pairs.
+        # |tau| is clamped: beyond 1/sqrt(eps) the exact t = 1/(2 tau) to
+        # machine precision, and tau*tau would overflow TPU's range-limited
+        # emulated f64 (NaN, not inf) as well as true f32
+        zero = jnp.abs(apq) <= tiny
+        tau = (aqq - app) / jnp.where(zero, 1.0, 2.0 * apq)
+        cap = 1.0 / jnp.sqrt(jnp.finfo(dtype).eps)
+        tau_c = jnp.clip(tau, -cap, cap)
+        t = jnp.sign(tau_c) / (
+            jnp.abs(tau_c) + jnp.sqrt(1.0 + tau_c * tau_c)
+        )
+        t = jnp.where(jnp.abs(tau) > cap, 0.5 / tau, t)
+        t = jnp.where(tau == 0, 1.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        c = jnp.where(zero, 1.0, c)
+        s = jnp.where(zero, 0.0, s)
+        # rotation matrix: disjoint pairs -> independent scatters
+        Rm = eye
+        Rm = Rm.at[:, p, p].set(c)
+        Rm = Rm.at[:, q, q].set(c)
+        Rm = Rm.at[:, p, q].set(s)
+        Rm = Rm.at[:, q, p].set(-s)
+        A = jnp.einsum("bji,bjk,bkl->bil", Rm, A, Rm)
+        V = jnp.einsum("bij,bjk->bik", V, Rm)
+        return A, V
+
+    def sweep_body(_, state):
+        return jax.lax.fori_loop(0, R, round_body, state)
+
+    A, V = jax.lax.fori_loop(0, sweeps, sweep_body, (A, eye))
+    vals = jnp.diagonal(A, axis1=1, axis2=2)[:, :m]
+    V = V[:, :m, :m]
+    order = jnp.argsort(vals, axis=1)
+    vals = jnp.take_along_axis(vals, order, axis=1)
+    V = jnp.take_along_axis(V, order[:, None, :], axis=2)
+    return vals, V
+
+
+def _suffix_min(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-row suffix minimum (inclusive) along the last axis."""
+    return jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(x, -1), axis=-1), -1
+    )
+
+
+def _prefix_max(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.associative_scan(jnp.maximum, x, axis=-1)
+
+
+def _merge_level(D, U, rho, z, bisect_iters: int, newton_iters: int):
+    """One D&C merge: eigendecompose diag(D) + rho * z z^T given the
+    children's bases folded into U (B, M, M).
+
+    D (B, M) is the concatenated (unsorted across the pair) child spectra,
+    z (B, M) the rank-one vector in the children's eigenbasis, rho (B,) >= 0.
+    Returns ascending (lam (B, M), U_new (B, M, M)) with U_new = U @ G.
+
+    Deflation follows LAPACK laed2 but branchlessly: nearly-equal poles are
+    grouped into runs via segmented cumsums; the chained Givens rotations that
+    compress each run's z-mass onto its last member have the closed-form
+    progressive-orthogonalization columns
+        col_j  ~  (z_rs..z_j, -a_j^2/z_{j+1}-style tail) / (a_j a_{j+1})
+    assembled with broadcast masks. Survivor poles enter the secular equation
+    (laed4-equivalent: origin-selected bisection + Newton), eigenvectors use
+    the Gu-Eisenstat recomputed z-hat (laed3) smeared back over each run."""
+    B, M = D.shape
+    dtype = D.dtype
+    eps = jnp.finfo(dtype).eps
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny * 1e8, dtype)
+    iota = jnp.arange(M)
+
+    # ---- sort poles ------------------------------------------------------
+    perm = jnp.argsort(D, axis=1)
+    ds = jnp.take_along_axis(D, perm, axis=1)
+    zs = jnp.take_along_axis(z, perm, axis=1)
+    Up = jnp.take_along_axis(U, perm[:, None, :], axis=2)
+
+    zn2 = jnp.sum(zs * zs, axis=1)  # (B,)
+    scale = jnp.maximum(jnp.max(jnp.abs(ds), axis=1), rho * zn2)
+    scale = jnp.maximum(scale, tiny)
+    tol_gap = (8.0 * eps) * scale  # (B,)
+
+    # ---- runs of nearly-equal poles (segmented by adjacency) -------------
+    close = (ds[:, 1:] - ds[:, :-1]) <= tol_gap[:, None]  # (B, M-1)
+    true_col = jnp.ones((B, 1), bool)
+    is_first = jnp.concatenate([true_col, ~close], axis=1)  # run starts
+    is_last = jnp.concatenate([~close, true_col], axis=1)  # run ends
+    rs = _prefix_max(jnp.where(is_first, iota[None, :], -1))  # run start idx
+    rl = _suffix_min(jnp.where(is_last, iota[None, :], M))  # run last idx
+
+    # segmented prefix energy a_i^2 = sum_{t in [rs_i, i]} z_t^2
+    c = jnp.cumsum(zs * zs, axis=1)
+    c_before = jnp.take_along_axis(c, jnp.maximum(rs - 1, 0), axis=1)
+    c_before = jnp.where(rs > 0, c_before, 0.0)
+    a2 = jnp.maximum(c - c_before, 0.0)
+    a = jnp.sqrt(a2)
+
+    singleton = rs == rl
+    surv = iota[None, :] == rl
+    # survivor's effective z: signed original for singletons, +run-norm else
+    z_eff = jnp.where(surv, jnp.where(singleton, zs, a), 0.0)
+    a_last = jnp.take_along_axis(a, rl, axis=1)  # run norm, per position
+
+    # active = surviving pole with non-negligible rank-one coupling.
+    # The criterion is LINEAR in z (LAPACK laed2): deflating z_i perturbs
+    # the matrix by ~ rho |z_i| ||z|| via the CROSS terms, not rho z_i^2 —
+    # a quadratic test silently admits sqrt(eps)-level residuals
+    active = surv & (
+        rho[:, None] * jnp.abs(z_eff) * jnp.sqrt(zn2)[:, None]
+        > tol_gap[:, None]
+    )
+    z2 = jnp.where(active, z_eff * z_eff, 0.0)
+    zn2_act = jnp.sum(z2, axis=1)
+
+    # ---- secular brackets ------------------------------------------------
+    # next active pole strictly above j (M = sentinel: no pole above)
+    idx_act = jnp.where(active, iota[None, :], M)
+    suf = _suffix_min(idx_act)
+    nxt = jnp.concatenate([suf[:, 1:], jnp.full((B, 1), M)], axis=1)
+    has_up = nxt < M
+    d_up = jnp.take_along_axis(ds, jnp.minimum(nxt, M - 1), axis=1)
+    top = ds + (rho * zn2_act)[:, None] + tol_gap[:, None]
+    d_up = jnp.where(has_up, d_up, top)
+    gap = jnp.maximum(d_up - ds, tiny)
+
+    rho_b = rho[:, None, None]
+
+    def f_eval(Dg, mu):
+        """Secular f(lambda) - with lambda = d_origin + mu - and f'."""
+        denom = Dg - mu[:, None, :]  # (B, M roots on axis 2)? see below
+        denom = jnp.where(denom == 0, tiny, denom)
+        mask = z2[:, :, None] > 0
+        t1 = jnp.where(mask, rho_b * z2[:, :, None] / denom, 0.0)
+        t2 = jnp.where(mask, t1 / denom, 0.0)
+        return 1.0 + jnp.sum(t1, axis=1), jnp.sum(t2, axis=1)
+
+    # origin selection: evaluate f at the interval midpoint from the lower
+    # pole; root in the upper half => use the upper pole as origin (accuracy
+    # of d_t - lambda hinges on |mu| being the SMALL part)
+    Dg_low = ds[:, :, None] - ds[:, None, :]  # d_t - d_j  (origin = lower)
+    f_mid, _ = f_eval(Dg_low, 0.5 * gap)
+    use_up = (f_mid < 0) & has_up
+    origin = jnp.where(use_up, nxt, iota[None, :])
+    d_o = jnp.take_along_axis(ds, origin, axis=1)
+    Dg = ds[:, :, None] - d_o[:, None, :]  # d_t - d_origin_j
+
+    lo = jnp.where(use_up, -0.5 * gap, jnp.zeros_like(gap))
+    hi = jnp.where(use_up, jnp.zeros_like(gap), jnp.where(
+        has_up, 0.5 * gap, gap))
+
+    def bisect_body(_, lohi):
+        lo, hi = lohi
+        mu = 0.5 * (lo + hi)
+        f, _ = f_eval(Dg, mu)
+        neg = f < 0
+        return jnp.where(neg, mu, lo), jnp.where(neg, hi, mu)
+
+    lo, hi = jax.lax.fori_loop(0, bisect_iters, bisect_body, (lo, hi))
+    mu = 0.5 * (lo + hi)
+
+    # pole-dominant fixed point (laed4's rational model): writing
+    # f = 1 + s_rest(mu) - rho z_o^2 / mu, the root satisfies
+    # mu* = rho z_o^2 / (1 + s_rest(mu*)). This converges to RELATIVE
+    # machine precision of mu — bisection alone is only gap-absolute,
+    # which destroys Gu-Eisenstat orthogonality for nearly-deflated
+    # roots (mu ~ rho z^2 << gap). Bracket halving is the fallback.
+    z2_o = jnp.take_along_axis(z2, origin, axis=1)
+
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def refine_body(_, state):
+        mu, lo, hi, best_mu, best_af = state
+        f, fp = f_eval(Dg, mu)
+        af = jnp.abs(f)
+        better = af < best_af
+        best_mu = jnp.where(better, mu, best_mu)
+        best_af = jnp.where(better, af, best_af)
+        neg = f < 0
+        lo = jnp.where(neg, mu, lo)
+        hi = jnp.where(neg, hi, mu)
+        mu_safe = jnp.where(mu == 0, tiny, mu)
+        s_rest = f - 1.0 + rho[:, None] * z2_o / mu_safe
+        denom = 1.0 + s_rest
+        mu_fp = rho[:, None] * z2_o / jnp.where(denom == 0, tiny, denom)
+        mu_nt = mu - f / jnp.maximum(fp, tiny)  # quadratic, mid-interval
+        # NON-strict: a bracket endpoint can BE the converged root, and a
+        # strict test would bounce a converged mu back to the midpoint
+        good_fp = (mu_fp >= lo) & (mu_fp <= hi)
+        good_nt = (mu_nt >= lo) & (mu_nt <= hi)
+        mu = jnp.where(
+            good_fp, mu_fp, jnp.where(good_nt, mu_nt, 0.5 * (lo + hi))
+        )
+        return mu, lo, hi, best_mu, best_af
+
+    mu, lo, hi, best_mu, best_af = jax.lax.fori_loop(
+        0, max(newton_iters, 10), refine_body,
+        (mu, lo, hi, mu, jnp.full_like(mu, inf)))
+    f_fin, _ = f_eval(Dg, mu)
+    mu = jnp.where(jnp.abs(f_fin) <= best_af, mu, best_mu)
+
+    lam = jnp.where(active, d_o + mu, ds)
+
+    # ---- Gu-Eisenstat z-hat (laed3): zhat_i^2 = prod_r (lam_r - d_i) /
+    # prod_{r != i} (d_r - d_i), products over ACTIVE r only --------------
+    num = mu[:, None, :] - Dg  # lam_r - d_t  (rows t, cols r), accurate
+    den = ds[:, None, :] - ds[:, :, None]  # d_r - d_t
+    off_diag = iota[None, :, None] != iota[None, None, :]
+    act_r = active[:, None, :]
+    ratio = jnp.where(
+        act_r & off_diag,
+        num / jnp.where(den == 0, tiny, den),
+        1.0,
+    )
+    # diagonal factor: lam_i - d_i (units of d; one factor, no overflow)
+    diag_fac = jnp.where(active, mu + (d_o - ds), 1.0)
+    zhat2 = jnp.prod(ratio, axis=2) * diag_fac
+    zhat = jnp.sign(z_eff) * jnp.sqrt(jnp.maximum(zhat2, 0.0))
+    zhat = jnp.where(active, zhat, 0.0)
+
+    # ---- eigenvector columns --------------------------------------------
+    # active (Lowner) columns in the rotated basis: v_t = zhat_t/(d_t-lam_r)
+    w = jnp.where(
+        act_r & (z2[:, :, None] > 0),
+        zhat[:, :, None] / jnp.where(num == 0, tiny, -num),
+        0.0,
+    )
+    nrm = jnp.sqrt(jnp.maximum(jnp.sum(w * w, axis=1), tiny))
+    w = w / nrm[:, None, :]
+    # smear back over runs: rotated basis vector e_surv maps to z_run/a_run
+    smear = jnp.where(singleton, 1.0, zs / jnp.maximum(a_last, tiny))
+    G_act = smear[:, :, None] * jnp.take_along_axis(
+        w, jnp.broadcast_to(rl[:, :, None], (B, M, M)), axis=1
+    )
+
+    # deflated run-member columns (closed form, member j < run last):
+    #   rows t in [rs_j, j]: z_t * z_{j+1} / (a_j * a_{j+1})
+    #   row j+1:            -a_j / a_{j+1}
+    j_col = iota[None, None, :]
+    t_row = iota[None, :, None]
+    rs_c = rs[:, None, :]
+    in_seg = (t_row >= rs_c) & (t_row <= j_col)
+    z_next = jnp.concatenate([zs[:, 1:], jnp.zeros((B, 1), dtype)], axis=1)
+    a_next = jnp.concatenate([a[:, 1:], jnp.ones((B, 1), dtype)], axis=1)
+    denom_run = jnp.maximum(a[:, None, :] * a_next[:, None, :], tiny)
+    body = zs[:, :, None] * z_next[:, None, :] / denom_run
+    tail = -(a / jnp.maximum(a_next, tiny))[:, None, :]
+    G_defl = jnp.where(in_seg, body, 0.0)
+    G_defl = jnp.where(t_row == j_col + 1, tail, G_defl)
+    # guard: degenerate runs (zero energy so far) keep the identity column
+    degen = ((a[:, None, :] <= tiny) | (a_next[:, None, :] <= tiny))
+    eye_col = (t_row == j_col).astype(dtype)
+    G_defl = jnp.where(degen, eye_col, G_defl)
+
+    run_member = ~surv
+    G = jnp.where(active[:, None, :], G_act,
+                  jnp.where(run_member[:, None, :], G_defl, eye_col))
+
+    U_new = jnp.einsum("bij,bjk->bik", Up, G)
+
+    # ---- final sort (deflated lambdas can break interval order) ----------
+    order = jnp.argsort(lam, axis=1)
+    lam = jnp.take_along_axis(lam, order, axis=1)
+    U_new = jnp.take_along_axis(U_new, order[:, None, :], axis=2)
+    return lam, U_new
+
+
+def _cholqr2(V: jnp.ndarray) -> jnp.ndarray:
+    """Two CholeskyQR passes: restores orthonormality of a nearly-orthogonal
+    column set with batched matmul + triangular solve only. For eigenvector
+    matrices the correction is ~block-diagonal over degenerate clusters, so
+    eigen-pairing of well-separated eigenvalues is untouched."""
+    for _ in range(2):
+        G = jnp.einsum("kji,kjl->kil", V, V)
+        L = jnp.linalg.cholesky(G)
+        V = jax.lax.linalg.triangular_solve(
+            L, V, left_side=False, lower=True, transpose_a=True,
+        )
+    return V
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("base_size", "bisect_iters", "newton_iters",
+                     "jacobi_sweeps"),
+)
+def tridiag_eigh(d: jnp.ndarray, e: jnp.ndarray, base_size: int = 48,
+                 bisect_iters: int = 40, newton_iters: int = 3,
+                 jacobi_sweeps: int = 12):
+    """Eigendecompose a batch of symmetric tridiagonals (Cuppen D&C).
+
+    d (K, n) diagonals, e (K, n-1) sub-diagonals. Returns ascending
+    (vals (K, n), vecs (K, n, n)). All merges of a level run as ONE batched
+    device computation; levels are unrolled in a single jit program."""
+    K, n = d.shape
+    dtype = d.dtype
+    with jax.default_matmul_precision("float32"):
+        if n == 1:
+            return d, jnp.ones((K, 1, 1), dtype)
+        if n <= base_size:
+            T = jnp.zeros((K, n, n), dtype)
+            T = T.at[:, jnp.arange(n), jnp.arange(n)].set(d)
+            T = T.at[:, jnp.arange(n - 1), jnp.arange(1, n)].set(e)
+            T = T.at[:, jnp.arange(1, n), jnp.arange(n - 1)].set(e)
+            return _jacobi_eigh(T, sweeps=jacobi_sweeps)
+
+        L = max(1, math.ceil(math.log2(n / base_size)))
+        m0 = -(-n // (1 << L))
+        n_pad = m0 << L
+
+        # ---- pad: decoupled large distinct diagonal entries sort last ----
+        e_pad = jnp.zeros((K, n_pad), dtype).at[:, : n - 1].set(e)
+        abs_e_max = jnp.max(jnp.abs(e), axis=1)
+        bnd = jnp.max(jnp.abs(d), axis=1) + 4.0 * abs_e_max + 1.0  # (K,)
+        pad_j = jnp.arange(n_pad - n, dtype=dtype)
+        pad_vals = bnd[:, None] * (1.001 + 1e-3 * pad_j[None, :]) + pad_j
+        dhat = jnp.concatenate([d, pad_vals], axis=1)
+
+        # ---- Cuppen corrections, all boundaries up front -----------------
+        # boundary p couples (p-1, p); every multiple of m0 is the split
+        # point of exactly one merge in the binary tree
+        bounds = jnp.arange(m0, n_pad, m0)  # (S0 - 1,)
+        abs_be = jnp.abs(e_pad[:, bounds - 1])  # (K, nb)
+        dhat = dhat.at[:, bounds - 1].add(-abs_be)
+        dhat = dhat.at[:, bounds].add(-abs_be)
+
+        # ---- base case ---------------------------------------------------
+        S0 = n_pad // m0
+        db = dhat.reshape(K, S0, m0)
+        eb = e_pad.reshape(K, S0, m0)[:, :, : m0 - 1]
+        T = jnp.zeros((K, S0, m0, m0), dtype)
+        r_ = jnp.arange(m0)
+        T = T.at[:, :, r_, r_].set(db)
+        T = T.at[:, :, r_[:-1], r_[1:]].set(eb)
+        T = T.at[:, :, r_[1:], r_[:-1]].set(eb)
+        vals, vecs = _jacobi_eigh(
+            T.reshape(K * S0, m0, m0), sweeps=jacobi_sweeps
+        )
+        D = vals.reshape(K, S0, m0)
+        U = vecs.reshape(K, S0, m0, m0)
+
+        # ---- merge levels ------------------------------------------------
+        m = m0
+        while m < n_pad:
+            S = D.shape[1] // 2
+            M2 = 2 * m
+            p_idx = (2 * jnp.arange(S) + 1) * m - 1  # coupling positions
+            e_sel = e_pad[:, p_idx]  # (K, S)
+            rho = jnp.abs(e_sel)
+            sgn = jnp.sign(e_sel)
+            Dp = D.reshape(K, S, 2, m)
+            Upr = U.reshape(K, S, 2, m, m)
+            row_l = Upr[:, :, 0, m - 1, :]  # (K, S, m) last row of left U
+            row_r = Upr[:, :, 1, 0, :]  # first row of right U
+            z = jnp.concatenate([sgn[..., None] * row_l, row_r], axis=-1)
+            Dcat = Dp.reshape(K, S, M2)
+            Ucat = jnp.zeros((K, S, M2, M2), dtype)
+            Ucat = Ucat.at[:, :, :m, :m].set(Upr[:, :, 0])
+            Ucat = Ucat.at[:, :, m:, m:].set(Upr[:, :, 1])
+            lam, U_new = _merge_level(
+                Dcat.reshape(K * S, M2),
+                Ucat.reshape(K * S, M2, M2),
+                rho.reshape(K * S),
+                z.reshape(K * S, M2),
+                bisect_iters, newton_iters,
+            )
+            D = lam.reshape(K, S, M2)
+            U = U_new.reshape(K, S, M2, M2)
+            m = M2
+
+        Uf = U[:, 0, :n, :n]
+        if dtype == jnp.float32:
+            # f32 secular noise breaks Gu-Eisenstat orthogonality inside
+            # near-degenerate clusters (common at the bottom of decayed KFAC
+            # spectra); CholeskyQR2 restores it with harmless intra-cluster
+            # mixing only
+            Uf = _cholqr2(Uf)
+        return D[:, 0, :n], Uf
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "base_size", "bisect_iters",
+                              "newton_iters", "jacobi_sweeps"),
+)
+def eigh_stack_ts(stack: jnp.ndarray, nb: int = 64, base_size: int = 48,
+                  bisect_iters: int = 40, newton_iters: int = 3,
+                  jacobi_sweeps: int = 12):
+    """Full two-stage symmetric eigendecomposition of a (k, n, n) stack:
+    blocked Householder tridiagonalization -> batched secular D&C ->
+    WY back-transform. Drop-in for `jnp.linalg.eigh` on the stack
+    (ascending eigenvalues, orthonormal eigenvectors)."""
+    with jax.default_matmul_precision("float32"):
+        d, e, V, taus = tridiagonalize(stack, nb=nb)
+        lam, Ut = tridiag_eigh(
+            d, e, base_size=base_size, bisect_iters=bisect_iters,
+            newton_iters=newton_iters, jacobi_sweeps=jacobi_sweeps,
+        )
+        vecs = apply_q(V, taus, Ut, nb=nb)
+    return lam, vecs

@@ -31,16 +31,16 @@ from laplace_jax.utils.linalg import block_diag, kron, symeig
 
 __all__ = ["Kron", "KronDecomposed"]
 
-# Eigensolver override for Kron.decompose on TPU/GPU: "dc" (host-driven
-# level-batched spectral divide-and-conquer, `laplace_jax.ops.eigh_dc`),
-# "qdwh" (XLA's serial-agenda spectral D&C), "jacobi", or None for the
-# platform default. Measured on v5e at the ResNet-18 KFAC factor set
-# (3x4608, 4x2304, 4x1152, ...): QDWH beats Jacobi by 4-50x (1152: 0.19s vs
-# 2.5s; 2304: 0.69s vs 36s), and currently beats the level-batched D&C
-# (4.0s vs 11.1s): the D&C's fixed-coefficient polynomial sign schedule
-# spends ~70 matmul-equivalents per split against QDWH's ~6 dynamically
-# weighted rational iterations, which batching 3-4 matrices cannot recover.
-# "dc" therefore stays OPT-IN until its split cost is competitive.
+# Eigensolver override for Kron.decompose on TPU/GPU: "ts" (two-stage
+# classical path: blocked Householder tridiagonalization + batched secular
+# D&C + WY back-transform, `laplace_jax.ops.tridiag_eig` — ~3n^3 FLOPs vs
+# QDWH-eig's ~60-100n^3), "dc" (host-driven level-batched spectral
+# divide-and-conquer, `laplace_jax.ops.eigh_dc`), "qdwh" (XLA's
+# serial-agenda spectral D&C), "jacobi", or None for the platform default.
+# Measured on v5e at the ResNet-18 KFAC factor set (3x4608, 4x2304,
+# 4x1152, ...): QDWH beats Jacobi by 4-50x and the level-batched "dc"
+# (4.0s vs 11.1s, fixed-coefficient sign schedule too expensive); see
+# docs/performance.md for the "ts" numbers that motivated its default.
 # CPU always uses LAPACK via the platform default.
 EIGH_IMPLEMENTATION: str | None = None
 
@@ -84,7 +84,23 @@ def _use_dc(n: int) -> bool:
     return EIGH_IMPLEMENTATION == "dc" and n >= _DC_MIN_SIZE
 
 
+# Below this size the two-stage path's fixed per-level overheads do not pay
+# for themselves against a plain batched eigh dispatch.
+_TS_MIN_SIZE = 128
+
+
+def _use_ts(n: int) -> bool:
+    if jax.default_backend() not in ("tpu", "gpu"):
+        return False
+    return EIGH_IMPLEMENTATION == "ts" and n >= _TS_MIN_SIZE
+
+
 def _batched_eigh_clipped(stack: jnp.ndarray):
+    if _use_ts(stack.shape[-1]):
+        from laplace_jax.ops.tridiag_eig import eigh_stack_ts
+
+        l, Q = eigh_stack_ts(stack)
+        return _clip_flags(l, Q)
     if _use_dc(stack.shape[-1]):
         from laplace_jax.ops.eigh_dc import eigh_stack_dc
 
@@ -92,7 +108,8 @@ def _batched_eigh_clipped(stack: jnp.ndarray):
         return _clip_flags(l, Q)
     impl = (
         EIGH_IMPLEMENTATION
-        if jax.default_backend() in ("tpu", "gpu") and EIGH_IMPLEMENTATION != "dc"
+        if jax.default_backend() in ("tpu", "gpu")
+        and EIGH_IMPLEMENTATION not in ("dc", "ts")
         else None
     )
     return _batched_eigh_jit(stack, impl=impl)

@@ -29,8 +29,15 @@ def _loader(likelihood):
 @pytest.mark.parametrize("likelihood", ["classification", "regression"])
 @pytest.mark.parametrize("structure", ["kron", "diag"])
 def test_hyper_step_compiles_once_across_rounds(likelihood, structure):
+    from laplace_jax.utils.tracecount import TRACE_COUNTS
+
     model, params = make_mlp(in_dim=1 if likelihood == "regression" else 3)
     loader, _, _ = _loader(likelihood)
+    # trace-time counters, not PjitFunction._cache_size(): jax's global C++
+    # jit cache is bounded, so a long suite can EVICT this test's entry after
+    # its last use and make cache_size read 0 for a once-compiled function
+    hyper0 = TRACE_COUNTS["hyper_run"]
+    scan0 = TRACE_COUNTS["scan_fit"]
     la, nnm, margliks, losses = marglik_training(
         model, loader, likelihood=likelihood, hessian_structure=structure,
         n_epochs=4, n_epochs_burnin=0, marglik_frequency=1, n_hypersteps=3,
@@ -40,10 +47,10 @@ def test_hyper_step_compiles_once_across_rounds(likelihood, structure):
     assert len(margliks) == 12
     assert np.all(np.isfinite(margliks))
     # ONE compilation across all 4 tuning rounds
-    assert la._hyper_run._cache_size() == 1
+    assert TRACE_COUNTS["hyper_run"] - hyper0 == 1
     # the fit accumulation closure also compiled once across the 5 fits
     # (4 rounds + final refit)
-    assert la._scan_fit_fn._cache_size() == 1
+    assert TRACE_COUNTS["scan_fit"] - scan0 == 1
 
 
 def _naive_marglik_rounds(model, params, loader, likelihood, structure,
