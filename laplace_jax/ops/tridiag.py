@@ -235,26 +235,49 @@ def apply_q(V: jnp.ndarray, taus: jnp.ndarray, S: jnp.ndarray, nb: int = 64):
     )
     tp_all = jnp.zeros((K, ncp), dtype).at[:, :n_cols].set(taus[:, :n_cols])
 
-    def panel_body(i, out_flat):
-        p = (n_blocks - 1 - i) * nb
+    # ---- all panels' compact-WY T factors, built ONCE batched over panels
+    # (panels are independent; only the forward recurrence over the nb
+    # in-panel columns is sequential, so the build is nb steps total instead
+    # of n_blocks * nb)
+    def g_body(b, G_all):
+        p = b * nb
         Vp = jax.lax.dynamic_slice(Vp_all, (0, 0, p), (K, n_pad, nb))
-        tp = jax.lax.dynamic_slice(tp_all, (0, p), (K, nb))
-        Vb = _bdiag(Vp)  # (K*n_pad, K*nb)
-        # forward-product T: T[j,j] = tau_j; T[:j,j] = -tau_j T[:j,:j] (Vp^T v_j)
+        Vb = _bdiag(Vp)
         G = (Vb.T @ Vp.reshape(K * n_pad, nb)).reshape(K, nb, nb)
+        return jax.lax.dynamic_update_slice(G_all, G[None], (b, 0, 0, 0))
 
-        def t_body(j, T):
-            gcol = jax.lax.dynamic_slice(G, (0, 0, j), (K, nb, 1))[..., 0]
-            tj = jax.lax.dynamic_slice(tp, (0, j), (K, 1))[:, 0]
-            mask = jnp.arange(nb)[None, :] < j
-            tcol = -tj[:, None] * jnp.einsum(
-                "kij,kj->ki", T, jnp.where(mask, gcol, 0.0)
-            )
-            tcol = jnp.where(mask, tcol, 0.0)
-            tcol = jnp.where(jnp.arange(nb)[None, :] == j, tj[:, None], tcol)
-            return jax.lax.dynamic_update_slice(T, tcol[:, :, None], (0, 0, j))
+    G_all = jax.lax.fori_loop(
+        0, n_blocks, g_body, jnp.zeros((n_blocks, K, nb, nb), dtype)
+    ).reshape(n_blocks * K, nb, nb)
+    tp_r = (
+        tp_all.reshape(K, n_blocks, nb).transpose(1, 0, 2)
+        .reshape(n_blocks * K, nb)
+    )
 
-        T = jax.lax.fori_loop(0, nb, t_body, jnp.zeros((K, nb, nb), dtype))
+    def t_body(j, T):
+        # T[j,j] = tau_j; T[:j,j] = -tau_j T[:j,:j] (Vp^T v_j)
+        gcol = jax.lax.dynamic_slice(
+            G_all, (0, 0, j), (n_blocks * K, nb, 1)
+        )[..., 0]
+        tj = jax.lax.dynamic_slice(tp_r, (0, j), (n_blocks * K, 1))[:, 0]
+        mask = jnp.arange(nb)[None, :] < j
+        tcol = -tj[:, None] * jnp.einsum(
+            "kij,kj->ki", T, jnp.where(mask, gcol, 0.0)
+        )
+        tcol = jnp.where(mask, tcol, 0.0)
+        tcol = jnp.where(jnp.arange(nb)[None, :] == j, tj[:, None], tcol)
+        return jax.lax.dynamic_update_slice(T, tcol[:, :, None], (0, 0, j))
+
+    T_all = jax.lax.fori_loop(
+        0, nb, t_body, jnp.zeros((n_blocks * K, nb, nb), dtype)
+    ).reshape(n_blocks, K, nb, nb)
+
+    def panel_body(i, out_flat):
+        b = n_blocks - 1 - i
+        p = b * nb
+        Vp = jax.lax.dynamic_slice(Vp_all, (0, 0, p), (K, n_pad, nb))
+        Vb = _bdiag(Vp)  # (K*n_pad, K*nb)
+        T = jax.lax.dynamic_slice(T_all, (b, 0, 0, 0), (1, K, nb, nb))[0]
         # P S = S - V T (V^T S), all folded 2-D
         VtS = Vb.T @ out_flat  # (K*nb, Sc), block rows = Vp_k^T S_k
         X = _bdiag(T) @ VtS  # (K*nb, Sc)
