@@ -110,7 +110,9 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
 
     d = jnp.zeros((K, n_pad), dtype)
     e = jnp.zeros((K, n_pad), dtype)
-    V = jnp.zeros((K, n_pad, n), dtype)
+    # column dim padded to n_pad: the per-panel bulk reflector write spans a
+    # full nb-wide panel, which may run past n_cols at the tail
+    V = jnp.zeros((K, n_pad, n_pad), dtype)
     taus = jnp.zeros((K, n), dtype)
     eps_tiny = jnp.asarray(
         jnp.finfo(dtype).tiny * 1e4 if dtype != jnp.float64 else 1e-290, dtype
@@ -130,29 +132,40 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
         def class_body(t, carry, q=q, m=m, rows_w=rows_w):
             Aw, d, e, V, taus = carry
             off = t * nb  # window-relative panel offset
-            U = jnp.zeros((K, m, nb), dtype)
-            W = jnp.zeros((K, m, nb), dtype)
+            # fused panel buffer: columns [0, nb) hold the reflectors v
+            # (LATRD U), columns [nb, 2nb) hold the w vectors (LATRD W).
+            # One buffer means ONE folded matvec per correction instead of
+            # two — per-iteration op latency dominates this loop (measured
+            # ~0.25 ms/iteration floor on v5e for ANY fori_loop body), so
+            # fewer, fatter ops win
+            UW = jnp.zeros((K, m, 2 * nb), dtype)
+
+            def swap(x):
+                return jnp.concatenate([x[:, nb:], x[:, :nb]], axis=1)
 
             def col_body(j, inner):
-                Aw_c, U, W, d, e, V, taus = inner
+                Aw_c, UW, d, e, taus = inner
                 c = off + j  # window-relative column
                 jg = q + c  # global column
-                # corrected column c: A[:, c] - U W^T[., c] - W U^T[., c]
-                col = jax.lax.dynamic_slice(Aw_c, (0, 0, c), (K, m, 1))[..., 0]
-                u_row = jax.lax.dynamic_slice(U, (0, c, 0), (K, 1, nb))[:, 0, :]
-                w_row = jax.lax.dynamic_slice(W, (0, c, 0), (K, 1, nb))[:, 0, :]
-                col = col - _bmv(U, w_row) - _bmv(W, u_row)
+                # corrected column c = A[:, c] - U W^T[., c] - W U^T[., c];
+                # the window is symmetric, so read ROW c (contiguous) instead
+                # of a strided column slice
+                col = jax.lax.dynamic_slice(
+                    Aw_c, (0, c, 0), (K, 1, m)
+                )[:, 0, :]
+                uw_row = jax.lax.dynamic_slice(
+                    UW, (0, c, 0), (K, 1, 2 * nb)
+                )[:, 0, :]
+                col = col - _bmv(UW, swap(uw_row))
                 valid = (rows_w[None, :] + q) < n  # real (unpadded) rows
                 col = jnp.where(valid, col, 0.0)
                 d = jax.lax.dynamic_update_slice(
-                    d,
-                    jnp.take_along_axis(col, jnp.full((K, 1), c), axis=1),
-                    (0, jg),
+                    d, jax.lax.dynamic_slice(col, (0, c), (K, 1)), (0, jg)
                 )
                 # Householder on rows > c of the corrected column
                 below = rows_w[None, :] > c
                 x = jnp.where(below, col, 0.0)
-                alpha = jnp.take_along_axis(col, jnp.full((K, 1), c + 1), axis=1)[:, 0]
+                alpha = jax.lax.dynamic_slice(col, (0, c + 1), (K, 1))[:, 0]
                 xnorm2 = jnp.sum(x * x, axis=1) - alpha * alpha
                 xnorm2 = jnp.maximum(xnorm2, 0.0)
                 anorm = jnp.sqrt(alpha * alpha + xnorm2)
@@ -162,33 +175,36 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
                 denom = jnp.where(trivial, 1.0, alpha - beta)
                 tau = jnp.where(trivial, 0.0, (beta - alpha) / beta)
                 v = jnp.where(below, x / denom[:, None], 0.0)
-                v = v.at[:, :].set(
-                    jnp.where(rows_w[None, :] == c + 1, 1.0, v)
-                )
+                v = jnp.where(rows_w[None, :] == c + 1, 1.0, v)
                 v = jnp.where(below, v, 0.0)
                 e_val = jnp.where(trivial, alpha, beta)
                 e = jax.lax.dynamic_update_slice(e, e_val[:, None], (0, jg))
                 taus = jax.lax.dynamic_update_slice(taus, tau[:, None], (0, jg))
-                V = jax.lax.dynamic_update_slice(
-                    V, v[:, :, None], (0, q, jg)
-                )
                 # w = tau (A v - U (W^T v) - W (U^T v)); then
                 # w -= 0.5 tau (w^T v) v
                 Av = _bmv(Aw_c, v)
-                Wv = _bmv_t(W, v)
-                Uv = _bmv_t(U, v)
-                Av = Av - _bmv(U, Wv) - _bmv(W, Uv)
+                UWv = _bmv_t(UW, v)  # [U^T v | W^T v]
+                Av = Av - _bmv(UW, swap(UWv))
                 w = tau[:, None] * Av
                 w = w - (0.5 * tau * jnp.sum(w * v, axis=1))[:, None] * v
                 w = jnp.where(below, w, 0.0)
-                U = jax.lax.dynamic_update_slice(U, v[:, :, None], (0, 0, j))
-                W = jax.lax.dynamic_update_slice(W, w[:, :, None], (0, 0, j))
-                return Aw_c, U, W, d, e, V, taus
+                UW = jax.lax.dynamic_update_slice(UW, v[:, :, None], (0, 0, j))
+                UW = jax.lax.dynamic_update_slice(
+                    UW, w[:, :, None], (0, 0, nb + j)
+                )
+                return Aw_c, UW, d, e, taus
 
             n_cols_here = jnp.minimum(nb, n_cols - (q + off))
-            Aw, U, W, d, e, V, taus = jax.lax.fori_loop(
-                0, n_cols_here, col_body, (Aw, U, W, d, e, V, taus)
+            Aw, UW, d, e, taus = jax.lax.fori_loop(
+                0, n_cols_here, col_body, (Aw, UW, d, e, taus)
             )
+            U = UW[:, :, :nb]
+            W = UW[:, :, nb:]
+            # all reflectors of the panel land in V with ONE bulk write
+            # (a per-column dynamic_update_slice would pay the iteration
+            # latency floor n more times); V's column dim is padded so the
+            # write never clamps
+            V = jax.lax.dynamic_update_slice(V, U, (0, q, q + off))
             # rank-2nb trailing update A <- A - U W^T - W U^T, folded to 2-D:
             # block rows of (bdiag(U) @ stacked-W^T) are exactly U_k W_k^T
             Ub = _bdiag(U)
@@ -208,7 +224,7 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
     d = d.at[:, n - 2].set(Ap[:, n - 2, n - 2])
     d = d.at[:, n - 1].set(Ap[:, n - 1, n - 1])
     e = e.at[:, n - 2].set(Ap[:, n - 1, n - 2])
-    return d[:, :n], e[:, : n - 1], V, taus
+    return d[:, :n], e[:, : n - 1], V[:, :, :n], taus
 
 
 @functools.partial(jax.jit, static_argnames=("nb",))
