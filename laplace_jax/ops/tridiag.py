@@ -70,8 +70,9 @@ def _bmv_t(A: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return vb @ A.reshape(K * m, n)
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "n_classes"))
-def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
+@functools.partial(jax.jit, static_argnames=("nb", "n_classes", "unroll"))
+def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8,
+                   unroll: int = 1):
     """Reduce a batch of symmetric matrices to tridiagonal form.
 
     Parameters
@@ -135,9 +136,9 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
             # fused panel buffer: columns [0, nb) hold the reflectors v
             # (LATRD U), columns [nb, 2nb) hold the w vectors (LATRD W).
             # One buffer means ONE folded matvec per correction instead of
-            # two — per-iteration op latency dominates this loop (measured
-            # ~0.25 ms/iteration floor on v5e for ANY fori_loop body), so
-            # fewer, fatter ops win
+            # two — the loop body is bound by per-iteration overhead
+            # (~0.026 ms/iteration on v5e for any body) plus the HBM read
+            # of the trailing window, so fewer, fatter ops win
             UW = jnp.zeros((K, m, 2 * nb), dtype)
 
             def swap(x):
@@ -147,6 +148,14 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
                 Aw_c, UW, d, e, taus = inner
                 c = off + j  # window-relative column
                 jg = q + c  # global column
+                # the column loop runs a STATIC nb iterations (unrollable,
+                # and one less dynamic bound for XLA); tail-panel columns
+                # past n_cols are masked to exact no-ops: tau = 0 and v = 0
+                # make w = 0, so UW, V, and the trailing update are
+                # untouched, and the d/e/taus writes they DO perform land on
+                # positions that are overwritten, trimmed, or zero-on-zero
+                # afterwards
+                ok = (c + q) < n_cols
                 # corrected column c = A[:, c] - U W^T[., c] - W U^T[., c];
                 # the window is symmetric, so read ROW c (contiguous) instead
                 # of a strided column slice
@@ -173,10 +182,12 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
                 beta = -sign * anorm
                 trivial = xnorm2 <= eps_tiny * anorm * anorm
                 denom = jnp.where(trivial, 1.0, alpha - beta)
-                tau = jnp.where(trivial, 0.0, (beta - alpha) / beta)
+                beta_safe = jnp.where(trivial, 1.0, beta)
+                tau = jnp.where(trivial, 0.0, (beta - alpha) / beta_safe)
+                tau = jnp.where(ok, tau, 0.0)
                 v = jnp.where(below, x / denom[:, None], 0.0)
                 v = jnp.where(rows_w[None, :] == c + 1, 1.0, v)
-                v = jnp.where(below, v, 0.0)
+                v = jnp.where(below & ok, v, 0.0)
                 e_val = jnp.where(trivial, alpha, beta)
                 e = jax.lax.dynamic_update_slice(e, e_val[:, None], (0, jg))
                 taus = jax.lax.dynamic_update_slice(taus, tau[:, None], (0, jg))
@@ -194,9 +205,8 @@ def tridiagonalize(A: jnp.ndarray, nb: int = 64, n_classes: int = 8):
                 )
                 return Aw_c, UW, d, e, taus
 
-            n_cols_here = jnp.minimum(nb, n_cols - (q + off))
             Aw, UW, d, e, taus = jax.lax.fori_loop(
-                0, n_cols_here, col_body, (Aw, UW, d, e, taus)
+                0, nb, col_body, (Aw, UW, d, e, taus), unroll=unroll
             )
             U = UW[:, :, :nb]
             W = UW[:, :, nb:]

@@ -469,17 +469,17 @@ def tridiag_eigh(d: jnp.ndarray, e: jnp.ndarray, base_size: int = 48,
 
 @functools.partial(
     jax.jit, static_argnames=("nb", "base_size", "bisect_iters",
-                              "newton_iters", "jacobi_sweeps"),
+                              "newton_iters", "jacobi_sweeps", "unroll"),
 )
 def eigh_stack_ts(stack: jnp.ndarray, nb: int = 64, base_size: int = 48,
                   bisect_iters: int = 40, newton_iters: int = 3,
-                  jacobi_sweeps: int = 12):
+                  jacobi_sweeps: int = 12, unroll: int = 1):
     """Full two-stage symmetric eigendecomposition of a (k, n, n) stack:
     blocked Householder tridiagonalization -> batched secular D&C ->
     WY back-transform. Drop-in for `jnp.linalg.eigh` on the stack
     (ascending eigenvalues, orthonormal eigenvectors)."""
     with jax.default_matmul_precision("float32"):
-        d, e, V, taus = tridiagonalize(stack, nb=nb)
+        d, e, V, taus = tridiagonalize(stack, nb=nb, unroll=unroll)
         lam, Ut = tridiag_eigh(
             d, e, base_size=base_size, bisect_iters=bisect_iters,
             newton_iters=newton_iters, jacobi_sweeps=jacobi_sweeps,

@@ -37,11 +37,12 @@ __all__ = ["Kron", "KronDecomposed"]
 # QDWH-eig's ~60-100n^3), "dc" (host-driven level-batched spectral
 # divide-and-conquer, `laplace_jax.ops.eigh_dc`), "qdwh" (XLA's
 # serial-agenda spectral D&C), "jacobi", or None for the platform default.
-# Measured on v5e at the ResNet-18 KFAC factor set (3x4608, 4x2304,
-# 4x1152, ...): QDWH beats Jacobi by 4-50x and the level-batched "dc"
-# (4.0s vs 11.1s, fixed-coefficient sign schedule too expensive); see
-# docs/performance.md for the "ts" numbers that motivated its default.
-# CPU always uses LAPACK via the platform default.
+# The platform default on TPU/GPU is "ts" for f32/f64 factors of size
+# >= _TS_MIN_SIZE (measured on v5e at the ResNet-18 KFAC factor set
+# (3x4608, 4x2304, 4x1152, ...): ts 2.35s vs QDWH 3.78s vs dc 5.6-9.6s vs
+# Jacobi 4-50x slower than QDWH; see docs/performance.md), with a
+# per-factor NaN fallback to the jitter-retry `symeig` path. CPU always
+# uses LAPACK via the platform default.
 EIGH_IMPLEMENTATION: str | None = None
 
 # Below this factor size the serial XLA path is fine (Jacobi base case
@@ -89,14 +90,22 @@ def _use_dc(n: int) -> bool:
 _TS_MIN_SIZE = 128
 
 
-def _use_ts(n: int) -> bool:
+def _use_ts(n: int, dtype=None) -> bool:
     if jax.default_backend() not in ("tpu", "gpu"):
         return False
-    return EIGH_IMPLEMENTATION == "ts" and n >= _TS_MIN_SIZE
+    if n < _TS_MIN_SIZE:
+        return False
+    if EIGH_IMPLEMENTATION == "ts":
+        return True
+    # default-on: the two-stage path beats QDWH across measured factor
+    # sets; restricted to real float dtypes it is built and tested for
+    return EIGH_IMPLEMENTATION is None and (
+        dtype is None or jnp.dtype(dtype) in (jnp.float32, jnp.float64)
+    )
 
 
 def _batched_eigh_clipped(stack: jnp.ndarray):
-    if _use_ts(stack.shape[-1]):
+    if _use_ts(stack.shape[-1], stack.dtype):
         from laplace_jax.ops.tridiag_eig import eigh_stack_ts
 
         l, Q = eigh_stack_ts(stack)
