@@ -113,21 +113,57 @@ class CurvatureBackend:
         reference slices the full Jacobian, `curvature.py:126-127`)."""
         theta = self.model.mean_vector if theta is None else theta
 
+        # per-sample jacrev under vmap, NOT jacrev of the whole-batch
+        # closure: batch-level jacrev pulls every one of the B*C output
+        # cotangents back through the WHOLE batch graph, materializing
+        # (B*C, B, activations) cross-sample intermediates that are zero
+        # off the sample diagonal — quadratic in B, and TPU tile padding
+        # inflates them further (measured 25.9 GiB for LeNet at batch 32,
+        # 8.7% utilization: an instant OOM on a 16 GiB chip). Per-sample
+        # jacobians are independent, so vmap keeps intermediates linear
+        # in B. Per-sample forward semantics match the per-sample gradient
+        # path below (reference jacobians are per-sample too,
+        # `curvature/curvature.py:88-129`). Models whose parameters are
+        # shape-coupled to the batch (e.g. `DenseGeneral(batch_dims=...)`)
+        # cannot run with a singleton batch — tracing raises, and we fall
+        # back to the whole-batch closure for them.
         if self.subnetwork_indices is not None:
             idx = self.subnetwork_indices
 
-            def f_sub(t_sub):
-                return self.model.apply_vec_curv(theta.at[idx].set(t_sub), x)
+            def jac_sub(xi):
+                def f_sub(t_sub):
+                    return self.model.apply_vec_curv(
+                        theta.at[idx].set(t_sub), _expand(xi)
+                    )[0]
 
-            Js = jax.jacrev(f_sub)(theta[idx])  # (B, C, P_sub)
-            f = f_sub(theta[idx])
+                return jax.jacrev(f_sub)(theta[idx])  # (C, P_sub)
+
+            try:
+                Js = jax.vmap(jac_sub)(x)
+            except Exception:  # batch-coupled params: whole-batch fallback
+
+                def f_sub_batch(t_sub):
+                    return self.model.apply_vec_curv(theta.at[idx].set(t_sub), x)
+
+                Js = jax.jacrev(f_sub_batch)(theta[idx])  # (B, C, P_sub)
+            f = self.model.apply_vec_curv(theta, x)
             return Js, f
 
-        def f_fn(t):
-            return self.model.apply_vec_curv(t, x)
+        def jac_single(xi):
+            def f_one(t):
+                return self.model.apply_vec_curv(t, _expand(xi))[0]
 
-        Js = jax.jacrev(f_fn)(theta)  # (B, C, P)
-        f = f_fn(theta)
+            return jax.jacrev(f_one)(theta)  # (C, P)
+
+        try:
+            Js = jax.vmap(jac_single)(x)
+        except Exception:  # batch-coupled params: whole-batch fallback
+
+            def f_batch(t):
+                return self.model.apply_vec_curv(t, x)
+
+            Js = jax.jacrev(f_batch)(theta)  # (B, C, P)
+        f = self.model.apply_vec_curv(theta, x)
         return Js, f
 
     def last_layer_jacobians(self, x, train_params=None):
