@@ -224,7 +224,16 @@ def diag_curvature_taps(
             dK, dB = jax.lax.map(
                 per_sample, (a2, jnp.swapaxes(g2, 0, 1)), batch_size=8
             )
-            kernel_diag[t.path] = dK.sum(0)
+            dK = dK.sum(0)
+            if t.kind == "conv" and t.mask is not None:
+                # masked conv: ∂f/∂W = mask ∘ (patch·grad), so the exact
+                # per-entry diagonal carries mask² (0/1 masks zero the
+                # frozen entries). kernel flatten (kh, kw, cpg, cout)
+                # matches dK's (K, O) layout in both the grouped and
+                # ungrouped branches.
+                m = t.mask.reshape(-1, dK.shape[-1])
+                dK = dK * (m * m)
+            kernel_diag[t.path] = dK
             bias_diag[t.path] = dB.sum(0)
 
     # assemble in canonical leaf order

@@ -63,7 +63,7 @@ class LayerTap:
     `jax.vjp(..., has_aux=True)`."""
 
     def __init__(self, path, inputs, outputs, kind, conv_spec=None, patches=None,
-                 scale=None, bias=None):
+                 scale=None, bias=None, mask=None):
         self.path = path  # tuple[str, ...] module path
         self.inputs = inputs  # layer input activations
         self.outputs = outputs  # layer output (post-offset)
@@ -72,9 +72,11 @@ class LayerTap:
         self.patches = patches  # im2col patches when the matmul rewrite ran
         self.scale = scale  # norm layers: scale parameter (None if use_scale=False)
         self.bias = bias  # norm layers: bias parameter (None if use_bias=False)
+        self.mask = mask  # masked convs: kernel mask (array — pytree child)
 
     def tree_flatten(self):
-        children = (self.inputs, self.outputs, self.patches, self.scale, self.bias)
+        children = (self.inputs, self.outputs, self.patches, self.scale,
+                    self.bias, self.mask)
         spec = self.conv_spec
         if isinstance(spec, dict):
             spec = tuple(sorted((k, _freeze(v)) for k, v in spec.items()))
@@ -86,8 +88,9 @@ class LayerTap:
         path, kind, spec = aux
         if isinstance(spec, tuple):
             spec = {k: v for k, v in spec}
-        inputs, outputs, patches, scale, bias = children
-        return cls(path, inputs, outputs, kind, spec, patches, scale, bias)
+        inputs, outputs, patches, scale, bias, mask = children
+        return cls(path, inputs, outputs, kind, spec, patches, scale, bias,
+                   mask)
 
 
 def _freeze(v):
@@ -299,6 +302,7 @@ class NNModel:
                 kernel_dilation=module.kernel_dilation,
                 feature_group_count=module.feature_group_count,
             )
+            kmask = getattr(module, "mask", None)
             pad_str = (
                 module.padding.upper()
                 if isinstance(module.padding, str)
@@ -306,8 +310,7 @@ class NNModel:
             )
             has_input_dilation = module.input_dilation not in (None, 1)
             rewritable = (
-                getattr(module, "mask", None) is None
-                and (pad_str is None or pad_str in ("SAME", "VALID", "CIRCULAR"))
+                (pad_str is None or pad_str in ("SAME", "VALID", "CIRCULAR"))
                 # flax/lax REJECT string padding combined with lhs dilation
                 # ("String padding is not implemented for transposed
                 # convolution"); falling back keeps the rewrite's semantics
@@ -323,6 +326,12 @@ class NNModel:
                 patches = im2col(a, ksize, strides, module.padding, tuple(kdil),
                                  input_dilation=module.input_dilation)
                 kernel = module.get_variable("params", "kernel")
+                if kmask is not None:
+                    # flax masked conv (e.g. autoregressive PixelCNN kernels):
+                    # conv(x, kernel * mask). Folding the mask here keeps the
+                    # whole curvature path on matmul autodiff — the Jacobian
+                    # w.r.t. the kernel picks up the mask automatically.
+                    kernel = kernel * kmask
                 groups = int(module.feature_group_count or 1)
                 if groups == 1:
                     out = patches @ kernel.reshape(-1, kernel.shape[-1])
@@ -348,7 +357,9 @@ class NNModel:
                 out = next_fun(*args, **kwargs)
             if offsets is not None and path in offsets:
                 out = out + offsets[path]
-            taps.append(LayerTap(path, a, out, "conv", spec, patches))
+            taps.append(
+                LayerTap(path, a, out, "conv", spec, patches, mask=kmask)
+            )
             return out
 
         params = self.full_params(train_params)
