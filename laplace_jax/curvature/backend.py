@@ -27,6 +27,29 @@ from laplace_jax.nnmodel import NNModel
 from laplace_jax.utils.matrix import Kron
 
 
+def _trace_errors() -> tuple:
+    """Exception classes a singleton-batch trace raises when model parameters
+    are shape-coupled to the batch: shape errors from jnp/lax (TypeError /
+    ValueError) and flax's scope shape checks (FlaxError). Anything else —
+    e.g. a NameError in user code — propagates instead of silently taking
+    the quadratic-memory whole-batch path."""
+    from flax.errors import FlaxError
+
+    return (TypeError, ValueError, FlaxError)
+
+
+def _warn_batch_fallback(exc: Exception) -> None:
+    import warnings
+
+    warnings.warn(
+        "Per-sample vmapped Jacobians failed to trace (model parameters "
+        "appear shape-coupled to the batch); falling back to the whole-batch "
+        f"jacrev, whose memory is QUADRATIC in batch size. Cause: {exc}",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def mse_sum(f: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum((f - y) ** 2)
 
@@ -140,7 +163,14 @@ class CurvatureBackend:
 
             try:
                 Js = jax.vmap(jac_sub)(x)
-            except Exception:  # batch-coupled params: whole-batch fallback
+            except _trace_errors() as exc:
+                # batch-coupled params (singleton-batch trace fails): fall
+                # back to the whole-batch closure — the quadratic-memory
+                # path (B*C cotangents through the full batch graph). A
+                # genuine shape bug raises again from the fallback trace,
+                # so only truly batch-coupled models pay (and hear about)
+                # the memory cost.
+                _warn_batch_fallback(exc)
 
                 def f_sub_batch(t_sub):
                     return self.model.apply_vec_curv(theta.at[idx].set(t_sub), x)
@@ -157,7 +187,10 @@ class CurvatureBackend:
 
         try:
             Js = jax.vmap(jac_single)(x)
-        except Exception:  # batch-coupled params: whole-batch fallback
+        except _trace_errors() as exc:
+            # see above: warn, then let a real shape bug raise from the
+            # whole-batch trace instead of masking it
+            _warn_batch_fallback(exc)
 
             def f_batch(t):
                 return self.model.apply_vec_curv(t, x)

@@ -23,12 +23,14 @@ FisherType.MC), ``empirical`` (actual-label loss gradients, FisherType.EMPIRICAL
 
 Masked convs (flax ``nn.Conv(mask=...)``): KFAC uses the standard (A, B)
 factors of the unmasked layer — a Kronecker product cannot represent the
-zeroed rows/cols of mask-frozen entries. Those entries have zero gradient
-everywhere (the forward multiplies them by 0), so they get prior-only
-precision in the posterior; samples drawn for them never affect predictions
-because the mask multiplies them out in the forward pass. The *exact* paths
-(tap diagonal in `diag_taps.py`, all J-based GGN/EF/Hessian paths) carry the
-mask exactly. The torch reference has no masked-conv concept.
+zeroed rows/cols of mask-frozen entries, so frozen entries receive the
+approximate (spurious, nonzero) A ⊗ B curvature of the dense product rather
+than prior-only precision, which slightly perturbs the KFAC log-det/marglik
+relative to an exactly-masked curvature. Functionally this is harmless:
+posterior samples drawn for frozen entries are inert because the mask
+multiplies them out in the forward pass. The *exact* paths (tap diagonal in
+`diag_taps.py`, all J-based GGN/EF/Hessian paths) carry the mask exactly.
+The torch reference has no masked-conv concept.
 """
 
 from __future__ import annotations

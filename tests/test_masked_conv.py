@@ -125,6 +125,37 @@ def test_masked_entries_have_zero_diag_curvature(masked_setup):
         pytest.fail("Conv_0 kernel not found in leaf specs")
 
 
+class MaskedGroupedConvNet(nn.Module):
+    """Masked conv with feature_group_count > 1: exercises the mask²
+    correction's grouped-patch layout claim in `diag_taps.py`."""
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 4)
+        mask = _pixelcnn_mask(3, 3, 2, 6)  # per-group in-channels = 4/2 = 2
+        x = nn.Conv(6, (3, 3), padding="SAME", feature_group_count=2,
+                    mask=mask, dtype=jnp.float64, param_dtype=jnp.float64)(x)
+        x = jnp.tanh(x.reshape(x.shape[0], -1))
+        return nn.Dense(2, dtype=jnp.float64, param_dtype=jnp.float64)(x)
+
+
+def test_masked_grouped_conv_diag_matches_jacobian_oracle():
+    """Exact tap diagonal with mask² on a GROUPED masked conv equals the
+    naive-Jacobian GGN diagonal (grouped-patch (K, O) layout oracle)."""
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((4, 5, 5, 4)))
+    y = jnp.asarray(rng.integers(0, 2, size=(4,)))
+    model = MaskedGroupedConvNet()
+    params = model.init(jax.random.key(0), X[:1])
+    nnm = NNModel.from_flax(model, params)
+    backend = CurvatureBackend(nnm, "classification")
+    Js, f = jacobians_naive(nnm.apply, nnm.train_params, X)
+    p = jax.nn.softmax(f, -1)
+    lam = jax.vmap(jnp.diag)(p) - jnp.einsum("bc,bk->bck", p, p)
+    d_ref = jnp.einsum("bcp,bck,bkp->p", Js, lam, Js)
+    _, d = backend.diag(X, y)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-9)
+
+
 def test_masked_conv_laplace_fit_smoke(masked_setup):
     """Kron and Diag Laplace fit end-to-end on a masked-conv model."""
     nnm, _, _, X, y = masked_setup
