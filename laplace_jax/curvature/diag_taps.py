@@ -176,7 +176,11 @@ def diag_curvature_taps(
                 (a2, jnp.swapaxes(g_k, 0, 1), jnp.swapaxes(g_b, 0, 1)),
                 batch_size=8,
             )
-            kernel_diag[t.path] = dK.sum(0)
+            dK = dK.sum(0)  # (K, O)
+            if spec.get("kernel_layout") == "ok":
+                # feature-major kernel flatten: entries run O-major
+                dK = dK.T
+            kernel_diag[t.path] = dK
             bias_diag[t.path] = dB.sum(0)
         else:
             groups = 1

@@ -357,7 +357,17 @@ def kfac_factors(
         if matched is not None:
             if matched.kind in ("dense", "conv", "dense_general"):
                 if role == "kernel":
-                    group = (A_facs[matched.path], B_facs[matched.path])
+                    A_f, B_f = A_facs[matched.path], B_facs[matched.path]
+                    # feature-major kernels (einsum "ok" layout) flatten as
+                    # B ⊗ A, so the group factors swap; the Kron container is
+                    # agnostic to which factor is which
+                    if (
+                        matched.kind == "dense_general"
+                        and matched.conv_spec.get("kernel_layout") == "ok"
+                    ):
+                        group = (B_f, A_f)
+                    else:
+                        group = (A_f, B_f)
                 elif role == "bias":
                     group = (
                         B_facs_bias.get(matched.path, B_facs[matched.path]),

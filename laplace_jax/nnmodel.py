@@ -508,7 +508,12 @@ def _general_linear_tap(module, a, out, path):
         for ax in axis:
             K *= a.shape[ax]
         a_mat = jnp.transpose(a, non_axis + axis).reshape(a.shape[0], -1, K)
-        spec = {"n_feat": len(features), "g_perm": None, "g_perm_bias": None}
+        spec = {
+            "n_feat": len(features),
+            "g_perm": None,
+            "g_perm_bias": None,
+            "kernel_layout": "ko",  # flax kernels are (contracted..., feat...)
+        }
         return LayerTap(path, a, out, "dense_general", spec, a_mat)
 
     # nn.Einsum: einsum_str from the constructor or the call site
@@ -516,11 +521,32 @@ def _general_linear_tap(module, a, out, path):
     if es is None:
         return None  # call-time einsum_str is not visible to the interceptor
     es = es.replace(" ", "")
-    if "->" not in es or es.count(",") != 1 or "." in es:
+    if "->" not in es or es.count(",") != 1:
         return None
-    lhs_out, out_l = es.split("->")
-    lhs_l, rhs_l = lhs_out.split(",")
-    lhs_l, rhs_l, out_l = list(lhs_l), list(rhs_l), list(out_l)
+    lhs_out, out_s = es.split("->")
+    lhs_s, rhs_s = lhs_out.split(",")
+    if "." in rhs_s:
+        return None  # kernel rank must be static; flax rejects this anyway
+    if "..." in lhs_s:
+        # expand the ellipsis to explicit batch labels from a's rank, so the
+        # common "...d,dh->...h"-style equations take the structured path
+        n_batch = a.ndim - len(lhs_s.replace("...", ""))
+        if n_batch < 0 or "..." not in out_s:
+            return None
+        import string as _string
+
+        pool = [
+            c for c in _string.ascii_letters
+            if c not in lhs_s + rhs_s + out_s
+        ]
+        if len(pool) < n_batch:
+            return None
+        batch = "".join(pool[:n_batch])
+        lhs_s = lhs_s.replace("...", batch)
+        out_s = out_s.replace("...", batch)
+    if "." in lhs_s + out_s:
+        return None
+    lhs_l, rhs_l, out_l = list(lhs_s), list(rhs_s), list(out_s)
     if (
         len(set(lhs_l)) != len(lhs_l)
         or len(set(rhs_l)) != len(rhs_l)
@@ -529,21 +555,33 @@ def _general_linear_tap(module, a, out, path):
         return None  # repeated (diagonal) labels
     contracted = [c for c in rhs_l if c in lhs_l and c not in out_l]
     feat = [c for c in rhs_l if c not in lhs_l]
-    # kernel labels must be exactly (contracted..., features...) in that
-    # order so the row-major kernel flatten equals A ⊗ B
-    if rhs_l != contracted + feat or not contracted or not feat:
+    if not contracted or not feat:
+        return None
+    # the row-major kernel flatten must factor into the contracted block and
+    # the feature block: contracted-major kernels ("ko") yield an (A, B)
+    # group, feature-major kernels ("ok", e.g. attention out-projections
+    # "BTNH,DNH->BTD") yield the reversed (B, A) group — either way the
+    # group's Kronecker product equals the dense block under the leaf's
+    # canonical flatten. Interleaved label layouts have no 2-factor
+    # structure and fall to the unsupported/skip path.
+    if rhs_l == contracted + feat:
+        layout = "ko"
+    elif rhs_l == feat + contracted:
+        layout = "ok"
+    else:
         return None
     if any(c not in out_l for c in feat):
         return None
     lhs_keep = [c for c in lhs_l if c not in contracted]
     out_nonfeat = [c for c in out_l if c not in feat]
-    # row correspondence between activation rows and gradient rows requires
-    # the kept lhs labels to appear in the same order in the output, with the
-    # batch label leading everywhere
-    if out_nonfeat != lhs_keep or not lhs_keep:
+    # activation and gradient rows must describe the same (sample, position)
+    # pairs: every kept lhs label appears in the output (and vice versa);
+    # the gradient permutation below restores lhs_keep order, so the output
+    # may order them freely
+    if set(out_nonfeat) != set(lhs_keep) or not lhs_keep:
         return None
-    if lhs_l[0] != lhs_keep[0] or out_l[0] != lhs_keep[0]:
-        return None
+    if lhs_l[0] != lhs_keep[0]:
+        return None  # batch axis contracted: not batch-additive
     lhs_dims = {c: a.shape[i] for i, c in enumerate(lhs_l)}
     K = 1
     for c in contracted:
@@ -551,13 +589,14 @@ def _general_linear_tap(module, a, out, path):
     perm_a = tuple(lhs_l.index(c) for c in lhs_keep + contracted)
     a_mat = jnp.transpose(a, perm_a).reshape(a.shape[0], -1, K)
     feat_out = [c for c in out_l if c in feat]  # bias flatten order
-    g_perm = tuple(out_l.index(c) for c in out_nonfeat + feat)
-    g_perm_bias = tuple(out_l.index(c) for c in out_nonfeat + feat_out)
+    g_perm = tuple(out_l.index(c) for c in lhs_keep + feat)
+    g_perm_bias = tuple(out_l.index(c) for c in lhs_keep + feat_out)
     identity = tuple(range(len(out_l)))
     spec = {
         "n_feat": len(feat),
         "g_perm": None if g_perm == identity else g_perm,
         "g_perm_bias": None if g_perm_bias == identity else g_perm_bias,
+        "kernel_layout": layout,
     }
     return LayerTap(path, a, out, "dense_general", spec, a_mat)
 

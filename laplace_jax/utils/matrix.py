@@ -86,8 +86,27 @@ def _use_dc(n: int) -> bool:
 
 
 # Below this size the two-stage path's fixed per-level overheads do not pay
-# for themselves against a plain batched eigh dispatch.
-_TS_MIN_SIZE = 128
+# for themselves against a plain batched eigh dispatch. Measured on v5e
+# (scripts/bench_ts_min_size.py, warm, K=4 stacks): TS loses below n=512
+# (n=128: 0.9x, n=256: ~1x) and wins clearly from n=512 up (1.4-1.6x at
+# 512-1024, growing with n); see docs/performance.md.
+_TS_MIN_SIZE = 512
+
+# Wall-clock budget (seconds) for compiling the two-stage eigensolver
+# program for a new (shape, dtype, device) signature. Cold XLA compiles of
+# the TS program can take minutes on remote-compile toolchains; rather than
+# stalling the caller's decompose unboundedly, the TS dispatch runs in a
+# background thread and, if it has not come back within the budget, this
+# decompose falls back to the stock batched eigh (QDWH on TPU) with a
+# warning while the compile keeps running — the NEXT decompose of the same
+# signature gets the two-stage path warm. Override via the
+# LAPLACE_TS_COMPILE_BUDGET_SEC env var; non-positive disables the budget
+# (always wait for TS).
+TS_COMPILE_BUDGET_SEC: float = 120.0
+
+_ts_ready: set = set()  # (shape, dtype, device) signatures known warm
+_ts_pool = None  # lazy ThreadPoolExecutor for background TS compiles
+_ts_pending: dict = {}  # signature -> Future of a running background compile
 
 
 def _use_ts(n: int, dtype=None) -> bool:
@@ -104,12 +123,77 @@ def _use_ts(n: int, dtype=None) -> bool:
     )
 
 
+def _ts_budget_sec() -> float:
+    import os
+
+    v = os.environ.get("LAPLACE_TS_COMPILE_BUDGET_SEC")
+    return float(v) if v is not None else TS_COMPILE_BUDGET_SEC
+
+
+def _ts_signature(stack) -> tuple:
+    devs = getattr(stack, "devices", None)
+    dev = tuple(sorted(map(str, devs()))) if callable(devs) else None
+    return (stack.shape, str(stack.dtype), dev)
+
+
+def _ts_dispatch_budgeted(stack):
+    """Dispatch `eigh_stack_ts(stack)`, bounding COMPILE time (not run time).
+
+    Returns `(l, Q)` or None if the program is cold and its compile exceeded
+    the budget (caller falls back to the stock eigh). jit dispatch is
+    asynchronous — it returns right after trace+compile, before the device
+    finishes — so waiting on the dispatch in a worker thread times exactly
+    the compile. A timed-out compile keeps running in the worker and marks
+    the signature ready when done, so only the first decompose pays."""
+    from laplace_jax.ops.tridiag_eig import eigh_stack_ts
+
+    sig = _ts_signature(stack)
+    budget = _ts_budget_sec()
+    if sig in _ts_ready or budget <= 0:
+        return eigh_stack_ts(stack)
+
+    global _ts_pool
+    if _ts_pool is None:
+        import concurrent.futures
+
+        _ts_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="laplace-ts-compile"
+        )
+    fut = _ts_pending.get(sig)
+    if fut is None:
+        fut = _ts_pool.submit(eigh_stack_ts, stack)
+        fut.add_done_callback(
+            lambda f, sig=sig: (
+                _ts_ready.add(sig) if f.exception() is None else None,
+                _ts_pending.pop(sig, None),
+            )
+        )
+        _ts_pending[sig] = fut
+    import concurrent.futures as _cf
+
+    try:
+        out = fut.result(timeout=budget)
+        _ts_ready.add(sig)
+        return out
+    except _cf.TimeoutError:
+        import warnings
+
+        warnings.warn(
+            f"Two-stage eigensolver compile for {sig[0]} {sig[1]} exceeded "
+            f"the {budget:.0f}s budget (LAPLACE_TS_COMPILE_BUDGET_SEC); "
+            "falling back to the stock batched eigh for this decompose. The "
+            "compile continues in the background and later decomposes of "
+            "this shape will use the two-stage path.",
+            RuntimeWarning,
+        )
+        return None
+
+
 def _batched_eigh_clipped(stack: jnp.ndarray):
     if _use_ts(stack.shape[-1], stack.dtype):
-        from laplace_jax.ops.tridiag_eig import eigh_stack_ts
-
-        l, Q = eigh_stack_ts(stack)
-        return _clip_flags(l, Q)
+        out = _ts_dispatch_budgeted(stack)
+        if out is not None:
+            return _clip_flags(*out)
     if _use_dc(stack.shape[-1]):
         from laplace_jax.ops.eigh_dc import eigh_stack_dc
 
@@ -203,7 +287,9 @@ class Kron:
             if p.ndim <= 1:  # bias / scale / scalar
                 P = max(int(p.size), 1)
                 kfacs.append((jnp.zeros((P, P), dtype=dt),))
-            elif 2 <= p.ndim <= 4:
+            else:
+                # any leading-dims x last-dim split (Dense (in, out), Conv
+                # (kh, kw, in, out), einsum kernels of any rank)
                 p_in = int(jnp.prod(jnp.asarray(p.shape[:-1])))
                 p_out = int(p.shape[-1])
                 kfacs.append(
@@ -212,8 +298,6 @@ class Kron:
                         jnp.zeros((p_out, p_out), dtype=dt),
                     )
                 )
-            else:
-                raise ValueError("Invalid parameter shape (ndim > 4) for Kron.")
         return cls(kfacs)
 
     # -- algebra -------------------------------------------------------------

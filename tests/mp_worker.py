@@ -1,19 +1,22 @@
 """Multi-process worker for test_multiprocess.py.
 
-Run as: python tests/mp_worker.py <port> <process_id> <mode>
+Run as: python tests/mp_worker.py <port> <process_id> <mode> [<n_procs>]
 
-Initializes a real 2-process jax.distributed runtime (4 virtual CPU devices
-per process), builds the (2, 4) DCN x ICI `multihost_mesh`, runs a
+Initializes a real N-process jax.distributed runtime (4 virtual CPU devices
+per process), builds the (N, 4) DCN x ICI `multihost_mesh`, runs a
 `DataParallel` KronLaplace + DiagLaplace fit over it, and asserts the
 posterior equals the single-process (parallel=None) fit computed in the same
 process. Exercises the code path SURVEY.md §2.6 promised: cross-process
-curvature psums over the gloo collective backend.
+curvature psums over the gloo collective backend — including DCN axes > 2
+(round-4: the 3-process topology that virtual single-process meshes never
+reach).
 """
 
 import os
 import sys
 
 port, pid, mode = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+n_procs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
@@ -44,19 +47,20 @@ class MLP(nn.Module):
 
 def main():
     mesh = multihost_mesh(
-        coordinator_address=f"localhost:{port}", num_processes=2,
+        coordinator_address=f"localhost:{port}", num_processes=n_procs,
         process_id=pid,
     )
-    assert jax.process_count() == 2, jax.process_count()
-    assert mesh.shape == {"replica": 2, "data": 4}, mesh.shape
+    assert jax.process_count() == n_procs, jax.process_count()
+    assert mesh.shape == {"replica": n_procs, "data": 4}, mesh.shape
 
-    # identical data/model on every process (the multi-process contract)
+    # identical data/model on every process (the multi-process contract);
+    # batch divisible by every tested device count (2x4, 3x4)
     rng = np.random.default_rng(0)
-    X = np.asarray(rng.standard_normal((32, 5)))
-    y = np.asarray(rng.integers(0, 3, 32))
+    X = np.asarray(rng.standard_normal((48, 5)))
+    y = np.asarray(rng.integers(0, 3, 48))
     model = MLP()
     params = model.init(jax.random.key(0), jnp.asarray(X[:1]))
-    loader = ArrayLoader(X, y, batch_size=16)
+    loader = ArrayLoader(X, y, batch_size=24)
 
     dp = DataParallel(mesh, axis_name=("replica", "data"),
                       explicit=(mode == "explicit"))

@@ -25,18 +25,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(mode: str, timeout: int = 420):
+def _run_workers(mode: str, n_procs: int = 2, timeout: int = 420):
     port = str(_free_port())
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, port, str(i), mode],
+            [sys.executable, _WORKER, port, str(i), mode, str(n_procs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
-        for i in range(2)
+        for i in range(n_procs)
     ]
     outs = []
     try:
@@ -57,3 +57,9 @@ def _run_workers(mode: str, timeout: int = 420):
 @pytest.mark.parametrize("mode", ["annotated", "explicit"])
 def test_two_process_data_parallel_fit(mode):
     _run_workers(mode)
+
+
+def test_three_process_data_parallel_fit():
+    """DCN axis > 2 with real cross-process gloo psums (a replica=3 mesh) —
+    the branch virtual single-process meshes never execute."""
+    _run_workers("annotated", n_procs=3)
