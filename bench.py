@@ -98,8 +98,17 @@ def get_torch_baseline() -> float:
 
 
 def main() -> None:
+    t_setup = time.monotonic()
     torch_sec = get_torch_baseline()
     result["torch_cpu_kfac_fit_sec"] = round(torch_sec, 2)
+    status(f"torch baseline ready at +{time.monotonic() - t_setup:.0f}s")
+
+    # the bench must measure the production decompose path, not the
+    # cold-compile fallback: disable the TS compile budget so the WARM-UP
+    # fit blocks until the two-stage program is compiled (and stored in the
+    # persistent cache); the library default (120s budget + QDWH fallback)
+    # stays for users. BENCH_DEADLINE_SEC still bounds the whole run.
+    os.environ.setdefault("LAPLACE_TS_COMPILE_BUDGET_SEC", "-1")
 
     import jax
 
@@ -120,6 +129,7 @@ def main() -> None:
     from laplace_jax.utils.data import ArrayLoader
 
     result["device"] = str(jax.devices()[0])
+    status(f"jax ready at +{time.monotonic() - t_setup:.0f}s")
 
     rng = np.random.default_rng(0)
     X = rng.standard_normal((N_DATA, 32, 32, 3)).astype(np.float32)
@@ -127,8 +137,11 @@ def main() -> None:
     loader = ArrayLoader(X, y, batch_size=BATCH)
 
     model = ResNet18()
-    params = model.init(jax.random.key(0), jnp.asarray(X[:1]))
+    # jitted init: eager flax init dispatches hundreds of ops one-by-one
+    # through the axon tunnel (~minutes); one compiled program is cached
+    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(X[:1]))
     nnm = NNModel.from_flax(model, params)
+    status(f"model init done at +{time.monotonic() - t_setup:.0f}s")
 
     def sync(la_):
         # a host readback of an eigenvalue vector is a TRUE sync: it waits for
@@ -239,7 +252,7 @@ def main() -> None:
         gp_batch = int(os.environ.get("BENCH_GP_BATCH", 128))
         gp_loader = ArrayLoader(Xg, yg, batch_size=gp_batch)
         lenet = LeNet()
-        lenet_params = lenet.init(jax.random.key(0), jnp.asarray(Xg[:1]))
+        lenet_params = jax.jit(lenet.init)(jax.random.key(0), jnp.asarray(Xg[:1]))
         la_gp = FunctionalLaplace(
             NNModel.from_flax(lenet, lenet_params), "classification",
             n_subset=200,
@@ -293,7 +306,7 @@ def main() -> None:
         from laplace_jax.utils.subnetmask import LargestMagnitudeSubnetMask
 
         mlp_s = MLPr()
-        mlp_params = mlp_s.init(jax.random.key(0), jnp.asarray(Xs[:1]))
+        mlp_params = jax.jit(mlp_s.init)(jax.random.key(0), jnp.asarray(Xs[:1]))
         nnm_s = NNModel.from_flax(mlp_s, mlp_params)
         mask = LargestMagnitudeSubnetMask(nnm_s, n_params_subnet=128)
         idx = mask.select(sin_loader)
@@ -326,7 +339,7 @@ def main() -> None:
         yr = rng.integers(0, 2, size=(256,))
         rm_loader = ArrayLoader(ids, yr, batch_size=64)
         rm = TinyReward()
-        rm_params = rm.init(jax.random.key(0), jnp.asarray(ids[:1]))
+        rm_params = jax.jit(rm.init)(jax.random.key(0), jnp.asarray(ids[:1]))
         la_rm = Laplace(
             NNModel.from_flax(rm, rm_params), "reward_modeling",
             subset_of_weights="last_layer", hessian_structure="kron",

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -467,19 +468,47 @@ def tridiag_eigh(d: jnp.ndarray, e: jnp.ndarray, base_size: int = 48,
         return D[:, 0, :n], Uf
 
 
+def _stage1_impl(n: int, stage1: str) -> str:
+    """Resolve the stage-1 tridiagonalization implementation.
+
+    "pallas" (the Pallas LATRD panel kernel, `ops/latrd_pallas.py`) beats the
+    XLA formulation on every measured bench class on v5e — 1.50x at (4,1152),
+    1.35x at (4,2304), 1.48x at (3,4608), `scripts/profile_latrd_pallas.py` —
+    because the per-column inner loop runs as VLIW code with the U/W panel
+    VMEM-resident instead of ~45 dispatched HLO ops/column. It is TPU-only;
+    everything else uses the XLA path. Override via LAPLACE_TS_STAGE1.
+    """
+    env = os.environ.get("LAPLACE_TS_STAGE1")
+    if env in ("pallas", "xla"):
+        return env
+    if stage1 != "auto":
+        return stage1
+    return "pallas" if jax.default_backend() == "tpu" and n >= 512 else "xla"
+
+
 @functools.partial(
     jax.jit, static_argnames=("nb", "base_size", "bisect_iters",
-                              "newton_iters", "jacobi_sweeps", "unroll"),
+                              "newton_iters", "jacobi_sweeps", "unroll",
+                              "stage1"),
 )
 def eigh_stack_ts(stack: jnp.ndarray, nb: int = 64, base_size: int = 48,
                   bisect_iters: int = 40, newton_iters: int = 3,
-                  jacobi_sweeps: int = 12, unroll: int = 1):
+                  jacobi_sweeps: int = 12, unroll: int = 1,
+                  stage1: str = "auto"):
     """Full two-stage symmetric eigendecomposition of a (k, n, n) stack:
     blocked Householder tridiagonalization -> batched secular D&C ->
     WY back-transform. Drop-in for `jnp.linalg.eigh` on the stack
-    (ascending eigenvalues, orthonormal eigenvectors)."""
+    (ascending eigenvalues, orthonormal eigenvectors).
+
+    `stage1` picks the tridiagonalization: "auto" (Pallas LATRD kernel on
+    TPU for n >= 512, XLA otherwise), "pallas", or "xla"."""
     with jax.default_matmul_precision("float32"):
-        d, e, V, taus = tridiagonalize(stack, nb=nb, unroll=unroll)
+        if _stage1_impl(stack.shape[-1], stage1) == "pallas":
+            from laplace_jax.ops.latrd_pallas import tridiagonalize_pallas
+
+            d, e, V, taus = tridiagonalize_pallas(stack, nb=nb)
+        else:
+            d, e, V, taus = tridiagonalize(stack, nb=nb, unroll=unroll)
         lam, Ut = tridiag_eigh(
             d, e, base_size=base_size, bisect_iters=bisect_iters,
             newton_iters=newton_iters, jacobi_sweeps=jacobi_sweeps,

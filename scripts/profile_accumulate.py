@@ -29,7 +29,7 @@ X_all = rng.standard_normal((N, 32, 32, 3)).astype(np.float32)
 y_all = rng.integers(0, 10, size=(N,))
 
 model = ResNet18()
-params = model.init(jax.random.key(0), jnp.asarray(X_all[:1]))
+params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(X_all[:1]))
 nnm = NNModel.from_flax(model, params)
 tp = nnm.train_params
 

@@ -41,7 +41,7 @@ def main():
     y = rng.integers(0, 4, size=(256,))
     loader = ArrayLoader(X, y, batch_size=64)
     model = LeNet(num_classes=4)
-    params = model.init(jax.random.key(0), jnp.asarray(X[:1]))
+    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(X[:1]))
     nnm = NNModel.from_flax(model, params)
 
     for name, la in [
