@@ -244,244 +244,17 @@ def _panel_kernel(off_ref, A_ref, uwt_ref, out_ref,
     )
 
 
-def _panel_kernel_v2(off_ref, A_ref, uwt_ref, out_ref,
-                     *, K: int, m: int, nb: int, TR: int):
-    """v2 of `_panel_kernel`: same math and outputs, three VMEM-traffic cuts
-    on the per-column critical path (requires nb % 8 == 0):
-
-    1. Segment corrections on the MXU: the two UW^T[:, c]-style correction
-       sites become (8, 2nb) x (2nb, KM) dots + an 8-sublane masked sum,
-       instead of materializing a (2nb, KM) `seg_bcast` product (7 MB at the
-       (3, 4608) class) and reducing 2nb sublanes on the VPU — per column
-       that removes ~28 MB of VMEM traffic.
-    2. Deferred panel writes: the current 8 columns' v/w live in a small
-       (16, KM) scratch (`vw8`) that flushes into the big U/W panel with one
-       8-row-aligned store every 8 columns, replacing the per-column
-       full-buffer (2nb, KM) masked select.
-    3. Row-block caching: the 8-row aligned diagonal block serving columns
-       [c8, c8+8) is fetched once per 8 columns into a (8, KM) buffer
-       instead of K blocking DMA round-trips every column.
-    """
-    KM = K * m
-    dtype = uwt_ref.dtype
-    off = off_ref[0]
-    q_base = off_ref[1]
-    n_real = off_ref[2]
-    n_ch = m // TR
-    uw = uwt_ref  # see _panel_kernel: VMEM budget forbids a separate panel
-
-    def body(av, rowb, vw8, chunk_sc, sems, row_sem):
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, KM), 1)
-        local = lanes % m
-        kid8 = jax.lax.broadcasted_iota(jnp.int32, (_KP, KM), 0)
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (_KP, KM), 1)
-        sel = (lane8 // m == kid8).astype(dtype)
-        eps_tiny = jnp.asarray(jnp.finfo(dtype).tiny * 1e4, dtype)
-
-        uw[...] = jnp.zeros((2 * nb, KM), dtype)
-        vw8[...] = jnp.zeros((2 * _KP, KM), dtype)
-        sub_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, 3 * _KP), 0)
-        sub16 = jax.lax.broadcasted_iota(jnp.int32, (2 * _KP, KM), 0)
-        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, KM), 0)
-
-        def hdot(x, y):
-            return jax.lax.dot_general(
-                x, y, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(dtype)
-
-        def seg_bcast(s8):
-            return hdot(s8, sel)
-
-        def seg_reduce(x):
-            return jax.lax.dot_general(
-                x, sel, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(dtype)
-
-        def lane_pick(x, oneh):
-            """(X, KM) x (8, KM) one-hot -> (X, 8) lane extraction."""
-            return jax.lax.dot_general(
-                x, oneh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(dtype)
-
-        def corr_of(s_uw, s_vw):
-            """sum_q uw[q,l] s_uw[q,k(l)] + vw8 analog -> (1, KM), on MXU."""
-            P = hdot(s_uw.T, uw[...]) + hdot(s_vw.T, vw8[...])
-            return jnp.sum(P * sel, axis=0, keepdims=True)
-
-        def col_body(j, det_acc):
-            c = off + j
-            jrec = j % 8
-
-            # ---- row block cache: fetch rows [c8, c8+8) of each k once per
-            # 8 columns (off is 8-aligned: nb % 8 == 0)
-            c8 = pl.multiple_of((c // 8) * 8, 8)
-
-            @pl.when(c % 8 == 0)
-            def _():
-                for k in range(K):
-                    cp = pltpu.make_async_copy(
-                        A_ref.at[pl.ds(k * m + c8, 8), :],
-                        rowb.at[:, k * m : (k + 1) * m],
-                        row_sem,
-                    )
-                    cp.start()
-                    cp.wait()
-
-            row = jnp.sum(
-                jnp.where(sub8 == c % 8, rowb[...], 0.0),
-                axis=0, keepdims=True,
-            )
-
-            # ---- corrected column: col = row - U W^T[., c] - W U^T[., c]
-            oneh = (lane8 == kid8 * m + c).astype(dtype)
-            uw_row = lane_pick(uw[...], oneh)  # (2nb, 8)
-            vw_row = lane_pick(vw8[...], oneh)  # (16, 8)
-            sw = jnp.concatenate([uw_row[nb:], uw_row[:nb]], axis=0)
-            svw = jnp.concatenate([vw_row[_KP:], vw_row[:_KP]], axis=0)
-            col = row - corr_of(sw, svw)
-            col = jnp.where(local < n_real - q_base, col, 0.0)
-
-            # ---- Householder (identical to _panel_kernel) -----------------
-            below = local > c
-            x = jnp.where(below, col, 0.0)
-            d_val = seg_reduce(jnp.where(local == c, col, 0.0))
-            alpha = seg_reduce(jnp.where(local == c + 1, col, 0.0))
-            xnorm2 = jnp.maximum(seg_reduce(x * x) - alpha * alpha, 0.0)
-            anorm = jnp.sqrt(alpha * alpha + xnorm2)
-            sign = jnp.where(alpha >= 0, 1.0, -1.0).astype(dtype)
-            beta = -sign * anorm
-            trivial = xnorm2 <= eps_tiny * anorm * anorm
-            denom = jnp.where(trivial, 1.0, alpha - beta)
-            beta_safe = jnp.where(trivial, 1.0, beta)
-            tau = jnp.where(trivial, 0.0, (beta - alpha) / beta_safe)
-            ok = (c + q_base) < (n_real - 2)
-            tau = jnp.where(ok, tau, 0.0)
-            e_val = jnp.where(trivial, alpha, beta)
-
-            v = jnp.where(below, x * seg_bcast(1.0 / denom), 0.0)
-            v = jnp.where((local == c + 1) & ok, 1.0,
-                          jnp.where(below & ok, v, 0.0))
-
-            # ---- Av: stream A row chunks (same pipeline as _panel_kernel)
-            v8 = jnp.broadcast_to(v, (_KP, KM))
-
-            def get_dma(slot, t):
-                return pltpu.make_async_copy(
-                    A_ref.at[pl.ds(pl.multiple_of(t * TR, TR), TR), :],
-                    chunk_sc.at[slot],
-                    sems.at[slot],
-                )
-
-            def need(t):
-                return (t * TR + TR - 1) % m > c
-
-            @pl.when(need(0))
-            def _():
-                get_dma(0, 0).start()
-
-            for k in range(K):
-                vk = v8[:, k * m : (k + 1) * m]
-
-                def chunk_body(i, _c, k=k, vk=vk):
-                    t = k * n_ch + i
-
-                    @pl.when((t + 1 < K * n_ch) & need(t + 1))
-                    def _():
-                        get_dma((t + 1) % 2, t + 1).start()
-
-                    @pl.when(need(t))
-                    def _():
-                        get_dma(t % 2, t).wait()
-                        part = jax.lax.dot_general(
-                            vk, chunk_sc[t % 2],
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        ).astype(dtype)
-                        av[:, pl.ds(
-                            pl.multiple_of(k * m + i * TR, TR), TR
-                        )] = part
-                    return _c
-
-                jax.lax.fori_loop(0, n_ch, chunk_body, 0)
-            Av = jnp.mean(av[...], axis=0, keepdims=True)
-            Av = jnp.where(below, Av, 0.0)
-
-            # ---- w = tau (Av - U (W^T v) - W (U^T v)), halved self-term --
-            uwv = lane_pick(uw[...], v8 * sel)  # (2nb, 8)
-            vwv = lane_pick(vw8[...], v8 * sel)  # (16, 8)
-            sw2 = jnp.concatenate([uwv[nb:], uwv[:nb]], axis=0)
-            svw2 = jnp.concatenate([vwv[_KP:], vwv[:_KP]], axis=0)
-            Av = Av - corr_of(sw2, svw2)
-            tau_b = seg_bcast(tau)
-            w = tau_b * Av
-            wv = seg_reduce(w * v)
-            w = w - 0.5 * seg_bcast(tau * wv) * v
-            w = jnp.where(below, w, 0.0)
-
-            # ---- recent-column buffer write + 8-aligned flush -------------
-            vw8[...] = jnp.where(
-                sub16 == jrec, jnp.broadcast_to(v, (2 * _KP, KM)),
-                jnp.where(
-                    sub16 == _KP + jrec, jnp.broadcast_to(w, (2 * _KP, KM)),
-                    vw8[...],
-                ),
-            )
-
-            @pl.when(jrec == 7)
-            def _():
-                # selector-matmul flush, amortized over 8 columns (a
-                # dynamic-start sublane store lowers to stack copies that
-                # blow the 16 MB scoped-vmem limit at the big classes):
-                # M[q, r] scatters vw8 row r to uw row j8+r / nb+j8+(r-8);
-                # the target rows are still zero, so an add suffices.
-                j8 = j - 7
-                q_i = jax.lax.broadcasted_iota(jnp.int32, (2 * nb, 2 * _KP), 0)
-                r_i = jax.lax.broadcasted_iota(jnp.int32, (2 * nb, 2 * _KP), 1)
-                M = (
-                    ((r_i < _KP) & (q_i == j8 + r_i))
-                    | ((r_i >= _KP) & (q_i == nb + j8 + r_i - _KP))
-                ).astype(dtype)
-                uw[...] = uw[...] + hdot(M, vw8[...])
-                vw8[...] = jnp.zeros((2 * _KP, KM), dtype)
-
-            det_row = jnp.concatenate([d_val, e_val, tau], axis=1)
-            return jnp.where(sub_nb == j, det_row, det_acc)
-
-        det = jax.lax.fori_loop(
-            0, nb, col_body, jnp.zeros((nb, 3 * _KP), dtype)
-        )
-        out_ref[...] = det
-
-    pl.run_scoped(
-        body,
-        av=pltpu.VMEM((_KP, KM), dtype),
-        rowb=pltpu.VMEM((8, KM), dtype),
-        vw8=pltpu.VMEM((2 * _KP, KM), dtype),
-        chunk_sc=pltpu.VMEM((2, TR, m), dtype),
-        sems=pltpu.SemaphoreType.DMA((2,)),
-        row_sem=pltpu.SemaphoreType.DMA(()),
-    )
-
-
 @functools.partial(
-    jax.jit, static_argnames=("K", "m", "nb", "TR", "interpret", "impl")
+    jax.jit, static_argnames=("K", "m", "nb", "TR", "interpret")
 )
 def latrd_panel(Aw, off, q_base, n_real, *, K, m, nb, TR=128,
-                interpret=False, impl="v1"):
+                interpret=False):
     """One LATRD panel on the (K, m, m) trailing window `Aw`, columns
     [off, off + nb) (window-relative, traced). Returns
     (UWT (2nb, K*m), det (nb, 24)) with det columns [d(8) | e(8) | tau(8)]
     carrying per-k values in the first K slots."""
     dtype = Aw.dtype
-    kern = _panel_kernel_v2 if impl == "v2" else _panel_kernel
-    kernel = functools.partial(kern, K=K, m=m, nb=nb, TR=TR)
+    kernel = functools.partial(_panel_kernel, K=K, m=m, nb=nb, TR=TR)
     scal = jnp.stack([
         jnp.asarray(off, jnp.int32), jnp.asarray(q_base, jnp.int32),
         jnp.asarray(n_real, jnp.int32),
@@ -505,10 +278,10 @@ def latrd_panel(Aw, off, q_base, n_real, *, K, m, nb, TR=128,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "n_classes", "interpret", "impl")
+    jax.jit, static_argnames=("nb", "n_classes", "interpret")
 )
 def tridiagonalize_pallas(A: jnp.ndarray, nb: int = 64, n_classes: int = 4,
-                          interpret: bool = False, impl: str = "v1"):
+                          interpret: bool = False):
     """Drop-in for `tridiag.tridiagonalize` with the panel inner loop as a
     Pallas kernel. Same outputs/convention; `apply_q` consumes V/taus
     unchanged.
@@ -533,17 +306,13 @@ def tridiagonalize_pallas(A: jnp.ndarray, nb: int = 64, n_classes: int = 4,
         from laplace_jax.ops.tridiag import tridiagonalize
 
         return tridiagonalize(A, nb=nb)
-    if impl == "v2" and max(8, min(nb, n)) % 8 != 0:
-        impl = "v1"  # v2's 8-aligned panel flush needs nb % 8 == 0
     with jax.default_matmul_precision("float32"):
         return _tridiagonalize_pallas_body(
-            A, _bdiag, nb=nb, n_classes=n_classes, interpret=interpret,
-            impl=impl,
+            A, _bdiag, nb=nb, n_classes=n_classes, interpret=interpret
         )
 
 
-def _tridiagonalize_pallas_body(A, _bdiag, *, nb, n_classes, interpret,
-                                impl="v1"):
+def _tridiagonalize_pallas_body(A, _bdiag, *, nb, n_classes, interpret):
     K, n, _ = A.shape
     dtype = A.dtype
 
@@ -574,7 +343,7 @@ def _tridiagonalize_pallas_body(A, _bdiag, *, nb, n_classes, interpret,
             off = t * nb
             UWT, det = latrd_panel(
                 Aw, off, q, n, K=K, m=m, nb=nb, TR=TR,
-                interpret=interpret, impl=impl,
+                interpret=interpret,
             )
             # unpack: U rows [0, nb), W rows [nb, 2nb) -> (K, m, nb)
             U = jnp.transpose(UWT[:nb].reshape(nb, K, m), (1, 2, 0))

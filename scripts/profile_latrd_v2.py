@@ -1,8 +1,10 @@
 """Pallas LATRD stage-1 kernel v1 vs v2 on the bench factor classes.
 
-v2 = MXU segment corrections + deferred 8-aligned panel writes + row-block
-caching (`laplace_jax.ops.latrd_pallas._panel_kernel_v2`). Correctness is
-checked via the tridiagonal spectrum against numpy on each class.
+v2 (`laplace_jax.ops.latrd_pallas_v2`) = MXU segment corrections +
+deferred 8-aligned panel writes + row-block caching. Measured results and
+status: see the v2 module docstring (short version: 1.09x at (4,1152),
+scoped-vmem compile failure at larger classes — not production).
+Correctness is checked via the tridiagonal spectrum against numpy.
 """
 
 import sys
@@ -18,6 +20,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from laplace_jax.ops.latrd_pallas import tridiagonalize_pallas
+from laplace_jax.ops.latrd_pallas_v2 import tridiagonalize_pallas_v2
 
 print("backend:", jax.default_backend(), jax.devices(), flush=True)
 rng = np.random.default_rng(0)
@@ -43,15 +46,15 @@ def tri_spec_err(d, e, A):
     return max(errs)
 
 
-def run(st, impl, reps=3):
+def run(st, fn, reps=3):
     t0 = time.perf_counter()
-    d, e, V, taus = tridiagonalize_pallas(st, impl=impl)
+    d, e, V, taus = fn(st)
     sync(taus)
     warm = time.perf_counter() - t0
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        d, e, V, taus = tridiagonalize_pallas(st, impl=impl)
+        d, e, V, taus = fn(st)
         sync(taus)
         best = min(best, time.perf_counter() - t0)
     return best, warm, (d, e)
@@ -59,8 +62,13 @@ def run(st, impl, reps=3):
 
 for k, n in [(4, 1152), (4, 2304), (3, 4608)]:
     st = mk(k, n)
-    t1, w1, _ = run(st, "v1")
-    t2, w2, (d2, e2) = run(st, "v2")
+    t1, w1, _ = run(st, tridiagonalize_pallas)
+    try:
+        t2, w2, (d2, e2) = run(st, tridiagonalize_pallas_v2)
+    except Exception as ex:  # scoped-vmem compile failures at big classes
+        print(f"({k},{n}): v1 {t1:.3f}s  v2 FAILED: "
+              f"{type(ex).__name__}", flush=True)
+        continue
     err = tri_spec_err(d2, e2, st)
     print(
         f"({k},{n}): v1 {t1:.3f}s  v2 {t2:.3f}s  ({t1 / t2:.2f}x)  "

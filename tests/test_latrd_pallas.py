@@ -85,6 +85,30 @@ def test_pallas_tiny_n_delegates(n):
     assert d.shape == (2, n)
 
 
+@pytest.mark.parametrize("k,n", [(2, 40), (2, 150)])
+def test_pallas_v2_roundtrip(k, n):
+    """The experimental v2 kernel (`ops/latrd_pallas_v2`) matches the same
+    invariants; it is not production (see its module docstring) but must
+    stay correct while it exists."""
+    from laplace_jax.ops.latrd_pallas_v2 import tridiagonalize_pallas_v2
+
+    rng = np.random.default_rng(7)
+    A = _sym_stack(rng, k, n)
+    d, e, V, taus = tridiagonalize_pallas_v2(
+        A, nb=16, n_classes=2, interpret=True
+    )
+    T = _assemble_T(d, e)
+    I = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (k, n, n))
+    Q = np.asarray(apply_q(V, taus, I, nb=16))
+    rec = np.einsum("kij,kjl,kml->kim", Q, T, Q)
+    scale = max(1.0, float(jnp.abs(A).max()))
+    np.testing.assert_allclose(rec, np.asarray(A), atol=2e-4 * scale)
+    orth = np.einsum("kij,kil->kjl", Q, Q)
+    np.testing.assert_allclose(
+        orth, np.broadcast_to(np.eye(n), (k, n, n)), atol=2e-4
+    )
+
+
 def test_pallas_feeds_stage2():
     """Full two-stage chain with the Pallas stage 1: eigenpairs match numpy."""
     from laplace_jax.ops.tridiag_eig import tridiag_eigh
