@@ -91,6 +91,7 @@ class CurvatureBackend:
         feature_reduction=None,
         subnetwork_indices: Optional[jnp.ndarray] = None,
         kron_unsupported: str = "skip",
+        kron_block_max_params: int = 8192,
         ef_chunk_size: Optional[int] = None,
     ):
         if likelihood not in (Likelihood.REGRESSION, Likelihood.CLASSIFICATION):
@@ -113,6 +114,12 @@ class CurvatureBackend:
                 f"{kron_unsupported!r}."
             )
         self.kron_unsupported = kron_unsupported
+        if kron_block_max_params < 1:
+            raise ValueError(
+                f"kron_block_max_params must be >= 1, got "
+                f"{kron_block_max_params}."
+            )
+        self.kron_block_max_params = kron_block_max_params
         if ef_chunk_size is not None and ef_chunk_size < 1:
             raise ValueError(f"ef_chunk_size must be >= 1, got {ef_chunk_size}.")
         self.ef_chunk_size = ef_chunk_size
@@ -488,6 +495,7 @@ class CurvatureBackend:
             key=key,
             last_layer_path=self.last_layer_path if self.last_layer else None,
             unsupported=self.kron_unsupported,
+            block_max_params=self.kron_block_max_params,
         )
         kron = kron * self.factor
         return self.factor * loss, kron

@@ -157,6 +157,7 @@ def kfac_factors(
     key: Optional[jax.Array] = None,
     last_layer_path: Optional[tuple] = None,
     unsupported: str = "skip",
+    block_max_params: int = 8192,
 ):
     """Compute per-batch KFAC `Kron` factors and the (unscaled) batch loss.
 
@@ -166,9 +167,14 @@ def kfac_factors(
     - ``"skip"`` (default): zero curvature block with a warning — the posterior
       for those weights falls back to the prior, matching the reference's
       skip-with-warning behavior (`laplace/curvature/asdl.py:137-138`).
-    - ``"block"``: exact dense 1-factor Fisher blocks for norm-layer scale/bias
-      leaves, computed from the same single vjp sweep (no torch backend has
-      this); non-norm unsupported leaves still get zero blocks + warning.
+    - ``"block"``: exact dense 1-factor Fisher blocks for unsupported leaves
+      (no torch backend has this). Norm-layer scale/bias blocks come from the
+      same single vjp sweep; any OTHER unsupported leaf (e.g. an `nn.Einsum`
+      kernel whose equation has no 2-factor-group flatten) with at most
+      `block_max_params` parameters gets an exact block via per-sample vjps
+      w.r.t. the leaf itself — one whole-model backward per (sample,
+      cotangent), so reserve it for small exotic leaves. Larger leaves fall
+      back to zero blocks + warning.
     - ``"raise"``: hard error (the strict pre-round-2 behavior).
     """
     train_params = model.train_params
@@ -214,12 +220,17 @@ def kfac_factors(
     # ---- output-gradient cotangent sweeps -----------------------------------
     # unified across fisher types: list of (weight, g_dict) where g_dict maps
     # path -> cotangent-grads with a leading sweep axis
+    # ct_sweeps mirrors g_sweeps with the raw output cotangents (K, B, C);
+    # only consumed by the generic exact-block path (unsupported="block"),
+    # so default runs trace no extra ops
     if fisher_type == "exact":
         cotangents = _sqrt_hessian_cotangents(f, likelihood, dtype)  # (C, B, C)
         g_sweeps = [(1.0, jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents))]
+        ct_sweeps = [(1.0, cotangents)]
     elif fisher_type == "mc":
         key = jax.random.key(0) if key is None else key
         g_sweeps = []
+        ct_sweeps = []
         for s in range(num_samples):
             k = jax.random.fold_in(key, s)
             if likelihood == Likelihood.REGRESSION:
@@ -232,6 +243,7 @@ def kfac_factors(
             g_sweeps.append(
                 (1.0 / num_samples, {p_: gl[None] for p_, gl in g.items()})
             )
+            ct_sweeps.append((1.0 / num_samples, ct[None]))
     elif fisher_type == "empirical":
         if likelihood == Likelihood.REGRESSION:
             ct = 2.0 * (f - y)
@@ -240,6 +252,7 @@ def kfac_factors(
             ct = p - jax.nn.one_hot(y, f.shape[-1], dtype=dtype)
         g = vjp_fn(ct)[0]
         g_sweeps = [(1.0, {p_: gl[None] for p_, gl in g.items()})]
+        ct_sweeps = [(1.0, ct[None])]
     else:
         raise ValueError(f"Unknown fisher_type {fisher_type}.")
 
@@ -344,6 +357,7 @@ def kfac_factors(
     # ---- assemble Kron groups in canonical leaf order -----------------------
     kfacs = []
     skipped = []
+    block_wanted = []  # (index into kfacs, spec) for generic exact blocks
     for spec in model.leaf_specs:
         path, role = spec.path, spec.path[-1]
         if last_layer_path is not None and not _under(path, last_layer_path):
@@ -387,20 +401,80 @@ def kfac_factors(
                     "Freeze it via the trainable mask or use a diag/full "
                     "Hessian structure."
                 )
-            skipped.append("/".join(path))
+            if unsupported == "block" and spec.size <= block_max_params:
+                block_wanted.append((len(kfacs), spec))
+            else:
+                skipped.append("/".join(path))
             group = _zero_group(spec, dtype)
         kfacs.append(group)
+
+    if block_wanted:
+        blocks = _exact_leaf_blocks(
+            model, train_params, x, ct_sweeps,
+            [s for _, s in block_wanted], dtype,
+        )
+        for i, spec in block_wanted:
+            kfacs[i] = (blocks[spec.path],)
 
     if skipped:
         warnings.warn(
             f"Parameters not supported by KFAC get zero curvature (posterior "
             f"falls back to the prior): {skipped}. Pass "
-            "kron_unsupported='block' for exact dense blocks on norm layers, "
-            "or freeze them via the trainable mask."
+            "kron_unsupported='block' for exact dense blocks (raise "
+            "block_max_params if these leaves exceed it), or freeze them via "
+            "the trainable mask."
         )
 
     loss = lossfunc(f, y)
     return loss, Kron(kfacs)
+
+
+def _exact_leaf_blocks(model, train_params, x, ct_sweeps, specs, dtype):
+    """Exact dense Fisher blocks for arbitrary (untapped) leaves.
+
+    Differentiates the model w.r.t. the leaves THEMSELVES via per-sample
+    vjps — no tap or module structure needed, so this covers anything the
+    structured KFAC paths cannot (e.g. `nn.Einsum` kernels whose equation
+    has no 2-factor-group flatten). Scaling matches the norm-layer blocks:
+    block = sum over sweeps of w * sum_{cotangent, sample} g g^T, which is
+    the exact per-batch Fisher block for that leaf.
+
+    Cost: one whole-model backward per (sample, cotangent) for the selected
+    leaves jointly — opt-in via ``kron_unsupported="block"`` and gated by
+    ``block_max_params``.
+    """
+    flat, treedef = jax.tree_util.tree_flatten(train_params)
+    index_of = {s.path: i for i, s in enumerate(model.leaf_specs)}
+    sel = [index_of[s.path] for s in specs]
+    leaves0 = [flat[j] for j in sel]
+
+    def f_single(leaves, xi):
+        flat2 = list(flat)
+        for j, lv in zip(sel, leaves):
+            flat2[j] = lv
+        tp2 = jax.tree_util.tree_unflatten(treedef, flat2)
+        xb = jax.tree_util.tree_map(lambda a: a[None], xi)
+        return model.apply(tp2, xb)[0]
+
+    def g_single(xi, ct_i):
+        """ct_i (K, C) -> list over leaves of (K, P_leaf) per-sample grads."""
+        _, vjp1 = jax.vjp(lambda lv: f_single(lv, xi), leaves0)
+
+        def one(c):
+            return [g.reshape(-1) for g in vjp1(c)[0]]
+
+        return jax.vmap(one)(ct_i)
+
+    blocks = {
+        s.path: jnp.zeros((s.size, s.size), dtype) for s in specs
+    }
+    for w, ct in ct_sweeps:  # ct (K, B, C)
+        Gs = jax.vmap(g_single)(x, jnp.moveaxis(ct, 0, 1))
+        for s, G in zip(specs, Gs):  # G (B, K, P)
+            blocks[s.path] = blocks[s.path] + w * jnp.einsum(
+                "bkp,bkq->pq", G.astype(dtype), G.astype(dtype)
+            )
+    return blocks
 
 
 def _norm_xhat(tap) -> jnp.ndarray:
