@@ -336,7 +336,7 @@ class FunctionalLaplace(BaseLaplace):
         if self._recompute_Sigma:
             warnings.warn(
                 "The prior precision has been changed since fit. "
-                "Re-compututing its value..."
+                "Re-computing its value..."
             )
             self._build_Sigma_inv()
         if pred_type != PredType.GP:
@@ -650,7 +650,6 @@ class FunctionalLaplace(BaseLaplace):
         self.loss = state_dict["loss"]
         self.prior_mean = state_dict["prior_mean"]
         self.prior_precision = state_dict["prior_precision"]
-        self._recompute_Sigma = state_dict["_recompute_Sigma"]
         self.sigma_noise = state_dict["sigma_noise"]
         self.n_data = state_dict["n_data"]
         self.n_outputs = state_dict["n_outputs"]

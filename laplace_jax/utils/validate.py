@@ -6,6 +6,7 @@ batch and aggregates a running metric (or an offline callable).
 
 from __future__ import annotations
 
+import inspect
 from typing import Mapping
 
 import jax.numpy as jnp
@@ -25,6 +26,14 @@ def validate(
     is_online = hasattr(loss, "update") and hasattr(loss, "compute")
     if is_online:
         loss.reset()
+        # Decide the update arity from the metric's signature, NOT by calling
+        # and catching TypeError: a genuine TypeError raised *inside* a user
+        # metric must surface, not silently retry with fewer arguments.
+        try:
+            sig = inspect.signature(loss.update)
+            update_takes_var = _accepts_n_positional(sig, 3)
+        except (TypeError, ValueError):  # builtins / C extensions: assume 2-arg
+            update_takes_var = False
     output_means, output_vars, targets = [], [], []
 
     for data in val_loader:
@@ -38,9 +47,9 @@ def validate(
         )
         if isinstance(out, tuple):
             if is_online:
-                try:
+                if update_takes_var:
                     loss.update(out[0], out[1], jnp.asarray(y))
-                except TypeError:
+                else:
                     loss.update(out[0], jnp.asarray(y))
             else:
                 output_means.append(out[0])
@@ -62,3 +71,14 @@ def validate(
         variances = jnp.concatenate(output_vars, axis=0)
         return float(loss(means, variances, tgts))
     return float(loss(means, tgts))
+
+
+def _accepts_n_positional(sig: inspect.Signature, n: int) -> bool:
+    """True if the signature can be called with `n` positional arguments."""
+    count = 0
+    for p in sig.parameters.values():
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            count += 1
+        elif p.kind is p.VAR_POSITIONAL:
+            return True
+    return count >= n
