@@ -129,6 +129,11 @@ class BaseLaplace:
         self.loss = 0.0
         self.n_outputs = 0
         self.n_data = 0
+        # fused end-to-end GLM predictive programs, keyed by
+        # (entry, likelihood, joint, link, n_samples, diagonal, backprop);
+        # posterior state flows in as a pytree ARGUMENT so refits and prior
+        # updates never retrace (see _fused_entry)
+        self._pred_programs: dict = {}
         # internal PRNG state for MC predictives/sampling when the caller
         # passes no key: advances per use so repeated calls are NOT
         # bit-identical — matching the reference, whose torch generator
@@ -282,10 +287,31 @@ class BaseLaplace:
     ):
         """GLM predictive with probit / bridge / MC links
         (reference `baselaplace.py:598-695`)."""
+        fused = self._fused_entry(
+            "call", likelihood, joint, link_approx, n_samples, diagonal_output
+        )
+        if fused is not None:
+            xd = _as_device(x)
+            if likelihood != Likelihood.REGRESSION and link_approx == LinkApprox.MC:
+                key = self._next_key() if key is None else key
+                return fused(self._jac_arg(), self._pred_state(), xd, key)
+            return fused(self._jac_arg(), self._pred_state(), xd)
         f_mu, f_var = self._glm_predictive_distribution(
             x, joint=joint and likelihood == Likelihood.REGRESSION
         )
+        return self._glm_link_output(
+            f_mu, f_var, likelihood, joint, link_approx, n_samples,
+            diagonal_output, key,
+        )
 
+    def _glm_link_output(
+        self, f_mu, f_var, likelihood, joint, link_approx, n_samples,
+        diagonal_output, key,
+    ):
+        """Pure link math applied on top of the GLM predictive distribution —
+        shared by the eager path and the fused jitted programs (key must be
+        concrete inside a trace; the eager MC branch resolves None keys via
+        `_glm_predictive_samples`)."""
         if likelihood == Likelihood.REGRESSION:
             if diagonal_output and not joint and f_var.ndim == 3:
                 f_var = jnp.diagonal(f_var, axis1=-2, axis2=-1)
@@ -345,6 +371,105 @@ class BaseLaplace:
         if self.likelihood == Likelihood.REGRESSION:
             return fs
         return jax.nn.softmax(fs, axis=-1)
+
+    # ------------------------------------------------ fused GLM predictive
+    # The eager GLM predictive issues one compiled Jacobian program plus a
+    # long tail of per-op dispatches (posterior solve per Kron group, link
+    # math, sampling) — on the remote-TPU toolchain that dispatch tail
+    # dominates wall time (docs/performance.md, methodology notes). Classes
+    # whose posterior state is expressible as a pytree opt in with
+    # `_fusable_predictive = True` + `_pred_state` / `_fvar_pure`, and the
+    # WHOLE predictive (Jacobians -> posterior solve -> link/sampling) runs
+    # as ONE jitted device program per (entry, link, shapes). State is a jit
+    # ARGUMENT, so refits / `optimize_prior_precision` never retrace.
+    # Reference semantics: `baselaplace.py:1111-1342`.
+    _fusable_predictive = False
+
+    def _pred_state(self):
+        """Dynamic posterior state consumed by `_fvar_pure` (a jit arg)."""
+        raise NotImplementedError
+
+    def _fvar_pure(self, state, Js, mode: str):
+        """Functional variance ('var': (B,C,C)) or joint covariance ('cov':
+        (B·C, B·C)) from the posterior state — pure in (state, Js)."""
+        raise NotImplementedError
+
+    def _jac_arg(self):
+        b = self.backend
+        use_phi = b.last_layer and b.last_layer_dense
+        return self.model.train_params if use_phi else self.model.mean_vector
+
+    def _jac_pure(self, jac_arg, x):
+        b = self.backend
+        if b.last_layer and b.last_layer_dense:
+            return b.last_layer_jacobians(x, train_params=jac_arg)
+        return b.jacobians(x, theta=jac_arg)
+
+    def _glm_dist_pure(self, jac_arg, state, x, joint):
+        Js, f_mu = self._jac_pure(jac_arg, x)
+        if joint:
+            f_mu = f_mu.ravel()
+            f_var = self._fvar_pure(state, Js, "cov")
+        else:
+            f_var = self._fvar_pure(state, Js, "var")
+        if not self.enable_backprop:
+            f_mu, f_var = jax.lax.stop_gradient((f_mu, f_var))
+        return f_mu, f_var
+
+    def _fused_entry(
+        self, entry, likelihood, joint, link_approx, n_samples, diagonal_output
+    ):
+        """Build (or fetch) the single-program GLM predictive for this config;
+        None routes the caller to the eager path (unfusable class, data
+        parallelism — batches are sharded eagerly — or kill switch)."""
+        import os as _os
+
+        if (
+            not self._fusable_predictive
+            or self.parallel is not None
+            or _os.environ.get("LAPLACE_FUSED_PREDICTIVE", "1") == "0"
+        ):
+            return None
+        try:
+            self._pred_state()
+        except Exception:
+            return None  # not fitted / state not expressible: eager path
+        cache_key = (
+            entry, str(likelihood), bool(joint), str(link_approx),
+            int(n_samples), bool(diagonal_output), self.enable_backprop,
+        )
+        prog = self._pred_programs.get(cache_key)
+        if prog is not None:
+            return prog
+
+        joint_dist = bool(joint) and likelihood == Likelihood.REGRESSION
+        needs_key = (
+            likelihood != Likelihood.REGRESSION and link_approx == LinkApprox.MC
+            if entry == "call"
+            else True
+        )
+
+        def body(jac_arg, state, x, key):
+            f_mu, f_var = self._glm_dist_pure(jac_arg, state, x, joint_dist)
+            if entry == "call":
+                return self._glm_link_output(
+                    f_mu, f_var, likelihood, joint, link_approx, n_samples,
+                    diagonal_output, key,
+                )
+            if entry == "functional_samples":
+                return self._glm_functional_samples(
+                    f_mu, f_var, n_samples, diagonal_output, key
+                )
+            return self._glm_predictive_samples(
+                f_mu, f_var, n_samples, diagonal_output, key
+            )
+
+        if needs_key:
+            prog = jax.jit(body)
+        else:
+            prog = jax.jit(lambda jac_arg, state, x: body(jac_arg, state, x, None))
+        self._pred_programs[cache_key] = prog
+        return prog
 
     # ----------------------------------------------------- hyperparameter opt
     def optimize_prior_precision(
@@ -824,6 +949,13 @@ class ParametricLaplace(BaseLaplace):
             raise ValueError("Only glm and nn supported as prediction types.")
         key = self._next_key() if key is None else key
         if pred_type == PredType.GLM:
+            fused = self._fused_entry(
+                "functional_samples", self.likelihood, False,
+                LinkApprox.MC, n_samples, diagonal_output,
+            )
+            if fused is not None:
+                return fused(self._jac_arg(), self._pred_state(),
+                             _as_device(x), key)
             f_mu, f_var = self._glm_predictive_distribution(x)
             return self._glm_functional_samples(
                 f_mu, f_var, n_samples, diagonal_output, key
@@ -837,6 +969,13 @@ class ParametricLaplace(BaseLaplace):
             raise ValueError("Only glm and nn supported as prediction types.")
         key = self._next_key() if key is None else key
         if pred_type == PredType.GLM:
+            fused = self._fused_entry(
+                "predictive_samples", self.likelihood, False,
+                LinkApprox.MC, n_samples, diagonal_output,
+            )
+            if fused is not None:
+                return fused(self._jac_arg(), self._pred_state(),
+                             _as_device(x), key)
             f_mu, f_var = self._glm_predictive_distribution(x)
             return self._glm_predictive_samples(
                 f_mu, f_var, n_samples, diagonal_output, key
@@ -993,12 +1132,25 @@ class FullLaplace(ParametricLaplace):
         return delta @ self.posterior_precision @ delta
 
     def functional_variance(self, Js):
-        return jnp.einsum("ncp,pq,nkq->nck", Js, self.posterior_covariance, Js)
+        return self._fvar_pure(self.posterior_covariance, Js, "var")
 
     def functional_covariance(self, Js):
-        n_batch, n_outs, n_params = Js.shape
-        Js = Js.reshape(n_batch * n_outs, n_params)
-        return jnp.einsum("np,pq,mq->nm", Js, self.posterior_covariance, Js)
+        return self._fvar_pure(self.posterior_covariance, Js, "cov")
+
+    # fused predictive state: the cached posterior covariance (one eager
+    # Cholesky after each fit / prior update, then a pure jit argument)
+    _fusable_predictive = True
+
+    def _pred_state(self):
+        self._check_H_init()
+        return self.posterior_covariance
+
+    def _fvar_pure(self, cov, Js, mode):
+        if mode == "cov":
+            n_batch, n_outs, n_params = Js.shape
+            Jf = Js.reshape(n_batch * n_outs, n_params)
+            return jnp.einsum("np,pq,mq->nm", Jf, cov, Jf)
+        return jnp.einsum("ncp,pq,nkq->nck", Js, cov, Js)
 
     def sample(self, n_samples: int = 100, key: Optional[jax.Array] = None):
         key = self._next_key() if key is None else key
@@ -1166,6 +1318,28 @@ class KronLaplace(ParametricLaplace):
         cov = self.posterior_precision.inv_square_form(Js)[0]
         return cov
 
+    # fused predictive state: the decomposed factors plus (prior, noise) as
+    # pytree args; the damped posterior is assembled inside the trace so the
+    # per-group eigenbasis solves fuse into the one predictive program
+    _fusable_predictive = True
+
+    def _pred_state(self):
+        self._check_H_init()
+        if not isinstance(self.H, KronDecomposed):
+            raise NotImplementedError  # undecomposed factors: eager path
+        return (self.H, self.prior_precision, jnp.asarray(self.sigma_noise))
+
+    def _fvar_pure(self, state, Js, mode):
+        H, prior_precision, sigma_noise = state
+        h_factor = 1.0 / (sigma_noise**2) / self.temperature
+        post = H * h_factor + prior_precision  # mirrors _posterior_precision
+        if mode == "cov":
+            n_batch, n_outs, n_params = Js.shape
+            return post.inv_square_form(
+                Js.reshape(1, n_batch * n_outs, n_params)
+            )[0]
+        return post.inv_square_form(Js)
+
     def sample(self, n_samples: int = 100, key: Optional[jax.Array] = None):
         key = self._next_key() if key is None else key
         eps = jax.random.normal(key, (n_samples, self.n_params), dtype=self._dtype)
@@ -1231,6 +1405,24 @@ class DiagLaplace(ParametricLaplace):
         n_batch, n_outs, n_params = Js.shape
         Js = Js.reshape(n_batch * n_outs, n_params)
         return jnp.einsum("np,p,mp->nm", Js, self.posterior_variance, Js)
+
+    # fused predictive state: raw diagonal curvature + (prior, noise); the
+    # posterior variance is two elementwise ops assembled inside the trace
+    _fusable_predictive = True
+
+    def _pred_state(self):
+        self._check_H_init()
+        return (self.H, self.prior_precision, jnp.asarray(self.sigma_noise))
+
+    def _fvar_pure(self, state, Js, mode):
+        H, prior_precision, sigma_noise = state
+        h_factor = 1.0 / (sigma_noise**2) / self.temperature
+        var = 1.0 / (h_factor * H + self._prior_precision_diag(prior_precision))
+        if mode == "cov":
+            n_batch, n_outs, n_params = Js.shape
+            Jf = Js.reshape(n_batch * n_outs, n_params)
+            return jnp.einsum("np,p,mp->nm", Jf, var, Jf)
+        return jnp.einsum("ncp,p,nkp->nck", Js, var, Js)
 
     def sample(self, n_samples: int = 100, key: Optional[jax.Array] = None):
         key = self._next_key() if key is None else key
