@@ -64,7 +64,7 @@ def diag_curvature_taps(
     if last_layer_path is not None:
         tap_shapes = [t for t in tap_shapes if t.path == last_layer_path]
     if not any(
-        t.kind in ("dense", "conv", "dense_general", "embed")
+        t.kind in ("dense", "conv", "dense_general", "embed", "unfactored")
         for t in tap_shapes
     ):
         raise TapUnsupported(
@@ -76,6 +76,7 @@ def diag_curvature_taps(
         t.path: jnp.zeros(t.outputs.shape, t.outputs.dtype)
         + varying_zero.astype(t.outputs.dtype)
         for t in tap_shapes
+        if t.kind != "unfactored"  # exact per-leaf path needs no output tap
     }
 
     keep_paths = {t.path for t in tap_shapes}
@@ -99,6 +100,7 @@ def diag_curvature_taps(
         else:
             cotangents = _sqrt_hessian_cotangents(f, likelihood, dtype)  # (C, B, C)
         g_stack = jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents)
+        ct_sweeps = [(1.0, cotangents)]
     elif curv_type == "ef":
         if likelihood == Likelihood.REGRESSION:
             ct = 2.0 * (f - y)
@@ -106,6 +108,7 @@ def diag_curvature_taps(
             p = jax.nn.softmax(f, axis=-1)
             ct = p - jax.nn.one_hot(y, f.shape[-1], dtype=dtype)
         g_stack = {k: v[None] for k, v in vjp_fn(ct)[0].items()}  # (1, B, ..., O)
+        ct_sweeps = [(1.0, ct[None])]
     else:
         raise ValueError(f"Unsupported curv_type {curv_type} for diag taps.")
 
@@ -113,6 +116,8 @@ def diag_curvature_taps(
     kernel_diag, bias_diag = {}, {}
     norm_scale_diag, norm_bias_diag = {}, {}
     for t in taps:
+        if t.kind == "unfactored":
+            continue  # exact per-leaf path below; no output tap collected
         g = g_stack[t.path]  # (C', B, *lead, O) with C'=C (ggn) or 1 (ef)
         if t.kind == "norm":
             # exact per-sample norm-param grads from the output cotangents:
@@ -240,6 +245,28 @@ def diag_curvature_taps(
             kernel_diag[t.path] = dK
             bias_diag[t.path] = dB.sum(0)
 
+    # exact per-leaf diagonals for non-factorizable ("unfactored") layers:
+    # DenseGeneral batch_dims, interleaved einsum labels, kernel batch axes.
+    # Differentiates the model w.r.t. the leaves themselves per sample — the
+    # same exact definition as the tap formulas, without layer structure.
+    from laplace_jax.curvature.kfac import _exact_leaf_diags
+
+    unf_specs = []
+    for spec in model.leaf_specs:
+        if last_layer_path is not None and not _under(
+            spec.path, last_layer_path
+        ):
+            continue
+        if any(
+            t.kind == "unfactored" and _under(spec.path, t.path) for t in taps
+        ):
+            unf_specs.append(spec)
+    unf_diag = (
+        _exact_leaf_diags(model, train_params, x, ct_sweeps, unf_specs, dtype)
+        if unf_specs
+        else {}
+    )
+
     # assemble in canonical leaf order
     parts = []
     for spec in model.leaf_specs:
@@ -256,7 +283,9 @@ def diag_curvature_taps(
                 f"Trainable parameter {path} does not belong to an intercepted "
                 "Dense/Conv/norm layer; use the Jacobian-based diag path."
             )
-        if matched.kind == "norm":
+        if matched.kind == "unfactored":
+            parts.append(unf_diag[path])
+        elif matched.kind == "norm":
             if role == "scale" and matched.path in norm_scale_diag:
                 parts.append(norm_scale_diag[matched.path].ravel())
             elif role == "bias" and matched.path in norm_bias_diag:

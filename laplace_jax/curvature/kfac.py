@@ -189,7 +189,7 @@ def kfac_factors(
         t for t in tap_shapes if t.kind != "norm" or want_norm_taps
     ]
     if not any(
-        t.kind in ("dense", "conv", "dense_general", "embed")
+        t.kind in ("dense", "conv", "dense_general", "embed", "unfactored")
         for t in tap_shapes
     ):
         raise ValueError("No Dense/Conv layers intercepted for KFAC.")
@@ -204,6 +204,7 @@ def kfac_factors(
         t.path: jnp.zeros(t.outputs.shape, t.outputs.dtype)
         + varying_zero.astype(t.outputs.dtype)
         for t in tap_shapes
+        if t.kind != "unfactored"  # exact-block leaves need no cotangent tap
     }
 
     # ONE forward pass: primal outputs + taps (activations/patches) as vjp aux
@@ -309,8 +310,8 @@ def kfac_factors(
     # ---- activation factors A per layer ------------------------------------
     A_facs = {}
     for t in taps:
-        if t.kind == "norm":
-            continue
+        if t.kind in ("norm", "unfactored"):
+            continue  # norm: exact blocks above; unfactored: blocks below
         if t.kind == "dense_general":
             # activation rows already normalized to (B, T, K) in kernel order
             p = t.patches
@@ -394,15 +395,27 @@ def kfac_factors(
                 if blk is not None:
                     group = (blk,)
         if group is None:
-            if unsupported == "raise":
+            # non-factorizable DenseGeneral/Einsum leaves ("unfactored" taps)
+            # take the exact dense-block path even under the default "skip"
+            # mode — the reference captures their torch equivalents because
+            # any torch module decomposes into hooked nn.Linear layers
+            # (`curvlinops.py:55-75`); zero-curvature + warning would be a
+            # coverage regression against it. Under "raise" they are likewise
+            # fine (intercepted and exactly handled), so only genuinely
+            # uncoverable leaves raise.
+            auto_block = matched is not None and matched.kind == "unfactored"
+            if (
+                (unsupported == "block" or auto_block)
+                and spec.size <= block_max_params
+            ):
+                block_wanted.append((len(kfacs), spec))
+            elif unsupported == "raise":
                 raise ValueError(
                     f"Trainable parameter {path} does not belong to an "
                     "intercepted Dense/Conv layer; KFAC is undefined for it. "
                     "Freeze it via the trainable mask or use a diag/full "
                     "Hessian structure."
                 )
-            if unsupported == "block" and spec.size <= block_max_params:
-                block_wanted.append((len(kfacs), spec))
             else:
                 skipped.append("/".join(path))
             group = _zero_group(spec, dtype)
@@ -429,19 +442,19 @@ def kfac_factors(
     return loss, Kron(kfacs)
 
 
-def _exact_leaf_blocks(model, train_params, x, ct_sweeps, specs, dtype):
-    """Exact dense Fisher blocks for arbitrary (untapped) leaves.
+def _exact_leaf_accumulate(model, train_params, x, ct_sweeps, specs, init, accum):
+    """Per-sample exact leaf-gradient engine for arbitrary (untapped) leaves.
 
     Differentiates the model w.r.t. the leaves THEMSELVES via per-sample
     vjps — no tap or module structure needed, so this covers anything the
-    structured KFAC paths cannot (e.g. `nn.Einsum` kernels whose equation
-    has no 2-factor-group flatten). Scaling matches the norm-layer blocks:
-    block = sum over sweeps of w * sum_{cotangent, sample} g g^T, which is
-    the exact per-batch Fisher block for that leaf.
+    structured KFAC/tap paths cannot (e.g. `nn.Einsum` kernels whose
+    equation has no 2-factor-group flatten, DenseGeneral batch_dims).
+    For each cotangent sweep `(w, ct)` with ct shaped (K, B, C), computes
+    per-sample flat grads G of shape (B, K, P_leaf) per leaf and folds
+    `w * accum(spec, G)` into the per-leaf accumulator.
 
     Cost: one whole-model backward per (sample, cotangent) for the selected
-    leaves jointly — opt-in via ``kron_unsupported="block"`` and gated by
-    ``block_max_params``.
+    leaves jointly — reserved for exotic leaves outside the structured paths.
     """
     flat, treedef = jax.tree_util.tree_flatten(train_params)
     index_of = {s.path: i for i, s in enumerate(model.leaf_specs)}
@@ -465,16 +478,35 @@ def _exact_leaf_blocks(model, train_params, x, ct_sweeps, specs, dtype):
 
         return jax.vmap(one)(ct_i)
 
-    blocks = {
-        s.path: jnp.zeros((s.size, s.size), dtype) for s in specs
-    }
+    out = {s.path: init(s) for s in specs}
     for w, ct in ct_sweeps:  # ct (K, B, C)
         Gs = jax.vmap(g_single)(x, jnp.moveaxis(ct, 0, 1))
         for s, G in zip(specs, Gs):  # G (B, K, P)
-            blocks[s.path] = blocks[s.path] + w * jnp.einsum(
-                "bkp,bkq->pq", G.astype(dtype), G.astype(dtype)
-            )
-    return blocks
+            out[s.path] = out[s.path] + w * accum(s, G)
+    return out
+
+
+def _exact_leaf_blocks(model, train_params, x, ct_sweeps, specs, dtype):
+    """Exact dense Fisher blocks per leaf: Σ_sweeps w · Σ_{sample,cot} g gᵀ
+    — the exact per-batch Fisher block (matches the norm-layer block
+    scaling). Gated by ``block_max_params`` at the call sites."""
+    return _exact_leaf_accumulate(
+        model, train_params, x, ct_sweeps, specs,
+        init=lambda s: jnp.zeros((s.size, s.size), dtype),
+        accum=lambda s, G: jnp.einsum(
+            "bkp,bkq->pq", G.astype(dtype), G.astype(dtype)
+        ),
+    )
+
+
+def _exact_leaf_diags(model, train_params, x, ct_sweeps, specs, dtype):
+    """Exact curvature diagonals per leaf: Σ_sweeps w · Σ_{sample,cot} g²
+    — the diagonal of `_exact_leaf_blocks` without the P² memory."""
+    return _exact_leaf_accumulate(
+        model, train_params, x, ct_sweeps, specs,
+        init=lambda s: jnp.zeros((s.size,), dtype),
+        accum=lambda s, G: (G.astype(dtype) ** 2).sum((0, 1)),
+    )
 
 
 def _norm_xhat(tap) -> jnp.ndarray:

@@ -484,9 +484,14 @@ def _general_linear_tap(module, a, out, path):
     - ``g_perm`` / ``g_perm_bias``: permutation of the OUTPUT axes bringing
       the feature axes last in kernel / bias flatten order (None = identity).
 
-    Returns None for configurations without a clean (K, O) Kronecker
-    factorization (DenseGeneral batch_dims, exotic einsum label layouts) —
-    the layer then falls to the unsupported/skip path.
+    Configurations without a clean (K, O) Kronecker factorization (exotic
+    einsum label layouts) get an "unfactored" tap when the layer is
+    batch-separable — curvature code then computes EXACT per-leaf blocks /
+    diagonals via per-sample vjps w.r.t. the kernel itself. Returns None
+    only for layers outside per-sample semantics entirely (DenseGeneral
+    batch_dims, kernel axes tied to the batch, batch-contracting
+    equations, call-time einsum_str): those fall to the unsupported/skip
+    path.
     """
     if isinstance(module, nn.DenseGeneral):
         if tuple(module.batch_dims or ()):
@@ -547,16 +552,30 @@ def _general_linear_tap(module, a, out, path):
     if "." in lhs_s + out_s:
         return None
     lhs_l, rhs_l, out_l = list(lhs_s), list(rhs_s), list(out_s)
+
+    def _unfactored():
+        """Equations with no clean 2-factor Kronecker structure still get
+        EXACT curvature (dense Fisher blocks in KFAC, exact diagonals in the
+        tap-diag path) via per-sample vjps w.r.t. the kernel itself — but
+        only when the layer is batch-separable: the batch label must stay
+        out of the kernel (a kernel axis tied to the batch size makes
+        per-sample application ill-defined) and reach the output (a
+        batch-contracting einsum is not batch-additive). Non-separable
+        layers stay unsupported (skip-with-warning)."""
+        if lhs_l and lhs_l[0] not in rhs_l and lhs_l[0] in out_l:
+            return LayerTap(path, a, out, "unfactored")
+        return None
+
     if (
         len(set(lhs_l)) != len(lhs_l)
         or len(set(rhs_l)) != len(rhs_l)
         or len(set(out_l)) != len(out_l)
     ):
-        return None  # repeated (diagonal) labels
+        return _unfactored()  # repeated (diagonal) labels
     contracted = [c for c in rhs_l if c in lhs_l and c not in out_l]
     feat = [c for c in rhs_l if c not in lhs_l]
     if not contracted or not feat:
-        return None
+        return _unfactored()
     # the row-major kernel flatten must factor into the contracted block and
     # the feature block: contracted-major kernels ("ko") yield an (A, B)
     # group, feature-major kernels ("ok", e.g. attention out-projections
@@ -569,9 +588,9 @@ def _general_linear_tap(module, a, out, path):
     elif rhs_l == feat + contracted:
         layout = "ok"
     else:
-        return None
+        return _unfactored()  # interleaved labels / kernel batch axes
     if any(c not in out_l for c in feat):
-        return None
+        return _unfactored()  # summed-out kernel feature axis
     lhs_keep = [c for c in lhs_l if c not in contracted]
     out_nonfeat = [c for c in out_l if c not in feat]
     # activation and gradient rows must describe the same (sample, position)
@@ -579,9 +598,9 @@ def _general_linear_tap(module, a, out, path):
     # the gradient permutation below restores lhs_keep order, so the output
     # may order them freely
     if set(out_nonfeat) != set(lhs_keep) or not lhs_keep:
-        return None
+        return _unfactored()
     if lhs_l[0] != lhs_keep[0]:
-        return None  # batch axis contracted: not batch-additive
+        return _unfactored()  # batch contracted: _unfactored() rejects too
     lhs_dims = {c: a.shape[i] for i, c in enumerate(lhs_l)}
     K = 1
     for c in contracted:

@@ -276,11 +276,12 @@ def test_mqa_end_to_end(structure):
     assert np.isfinite(float(la.log_marginal_likelihood()))
 
 
-# --------------------------------------------- still-unsupported: interleaved
+# ---------------------------------------- unfactored: exact per-leaf coverage
 class _InterleavedNet(nn.Module):
-    """Kernel labels interleave contracted and feature axes ('ndh' with
-    contracted n, d... here 'btnd,nfd->btf' has kernel (n, f, d) which is
-    neither contracted-major nor feature-major): no 2-factor structure."""
+    """Kernel labels interleave contracted and feature axes ('btnd,nfd->btf'
+    has kernel (n, f, d), neither contracted-major nor feature-major): no
+    2-factor Kron structure, so KFAC takes the exact dense-block path and
+    the tap diagonal takes the exact per-leaf path — with NO warning."""
 
     @nn.compact
     def __call__(self, x):  # (B, T, N, D)
@@ -288,17 +289,26 @@ class _InterleavedNet(nn.Module):
         return jnp.tanh(h).mean(axis=1) @ jnp.ones((6, 3), dtype=jnp.float64)
 
 
-def test_interleaved_kernel_skips_with_warning_diag_exact():
+def test_interleaved_kernel_exact_block_and_diag_no_warning():
     rng = np.random.default_rng(5)
     X = jnp.asarray(rng.standard_normal((4, 3, 2, 5)))
     y = jnp.asarray(rng.integers(0, 3, 4))
     m = _InterleavedNet()
     p = m.init(jax.random.key(6), X)
     be = CurvatureBackend(NNModel.from_flax(m, p), "classification")
-    with pytest.raises(ValueError, match="No Dense/Conv"):
-        be.kron(X, y, N=4)  # only layer unsupported -> clean error
-    # diag: TapUnsupported -> silent fallback to the J-path, still exact
-    _, d = be.diag(X, y)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # exact coverage, zero warnings
+        _, kron = be.kron(X, y, N=4)
+        _, d = be.diag(X, y)
     np.testing.assert_allclose(
         np.asarray(d), np.asarray(_diag_oracle(be, X)), atol=1e-8
     )
+    # the kernel/bias groups are EXACT dense Fisher blocks (== full GGN)
+    _, H = be.full(X, y, N=4)
+    H = np.asarray(H)
+    for spec, g in zip(be.model.leaf_specs, kron.kfacs):
+        assert len(g) == 1, spec.path
+        sl = slice(spec.offset, spec.offset + spec.size)
+        np.testing.assert_allclose(
+            np.asarray(g[0]), H[sl, sl], atol=1e-10, err_msg=str(spec.path)
+        )

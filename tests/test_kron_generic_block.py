@@ -81,7 +81,11 @@ def test_generic_block_matches_full_ggn():
 def test_generic_block_fit_end_to_end():
     """KronLaplace fit with block mode on the einsum net: no skip warning,
     finite marglik/predictive, and the posterior actually uses the block
-    (differs from the skip-mode prior-only posterior)."""
+    (differs from a prior-only posterior forced via kron_block_max_params=1).
+
+    Note the DEFAULT mode now also takes the exact-block path for separable
+    unfactored einsums (round-5 coverage closure), so the prior-only
+    contrast requires disabling blocks via the size gate."""
     nnm, X, y = _setup()
     loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=5)
     la = KronLaplace(
@@ -95,9 +99,21 @@ def test_generic_block_fit_end_to_end():
     probs = la(X[:4], link_approx="probit")
     assert np.isfinite(np.asarray(probs)).all()
 
+    # default mode now matches block mode exactly on this net
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        la_default = KronLaplace(nnm, "classification")
+        la_default.fit(loader)
+    assert float(la.log_marginal_likelihood()) == pytest.approx(
+        float(la_default.log_marginal_likelihood())
+    )
+
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        la_skip = KronLaplace(nnm, "classification")
+        la_skip = KronLaplace(
+            nnm, "classification",
+            backend_kwargs={"kron_block_max_params": 1},
+        )
         la_skip.fit(loader)
     assert float(la.log_marginal_likelihood()) != pytest.approx(
         float(la_skip.log_marginal_likelihood())
