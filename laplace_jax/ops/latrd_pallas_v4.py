@@ -133,6 +133,11 @@ def _panel_kernel(off_ref, A_ref, A2_ref, uwt_ref, out_ref,
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(dtype)  # (2nb, 8): [q, k] = UW[q, k*m+c]
             sw = jnp.concatenate([uw_row[nb:], uw_row[:nb]], axis=0)
+            # NOTE: a sublane-contracting dot_general(sw, uw) avoids the
+            # (2nb, KM) broadcast product here but forces Mosaic to
+            # relayout the whole panel operand (measured: scoped vmem
+            # JUMPS 17.5M -> 25.9M at the (4, 2304) class), so the
+            # v1-style elementwise form stays
             corr = jnp.sum(uw[...] * seg_bcast(sw), axis=0, keepdims=True)
             col = row - corr
             col = jnp.where(local < n_real - q_base, col, 0.0)
@@ -337,8 +342,9 @@ def tridiagonalize_pallas_v4(A: jnp.ndarray, nb: int = 64,
     and stage 2 consume V/taus unchanged.
 
     `T` is the col-tile width (class granularity rounds to it); `H` the
-    strip chunk height, a multiple of T (default min(4T, window) — 2.36 MB
-    chunks at T=384, the size the v1 kernel streams at HBM peak).
+    strip chunk height, a multiple of T (default min(2T, window): 1.18 MB
+    chunks at T=384 — the largest that fits the 16 MB scoped-vmem stack
+    limit at the bench classes; ~85% of peak DMA efficiency).
     """
     from laplace_jax.ops.tridiag import _bdiag
 
@@ -377,7 +383,11 @@ def _tridiagonalize_v4_body(A, _bdiag, *, nb, n_classes, T, H, interpret):
     while q < n_cols:
         m = n_pad - q
         nt = m // T
-        H = min(4 * T, m) if H_arg is None else min(H_arg, m)
+        # H = 2T (1.18 MB chunks at T=384) is the largest chunk that
+        # keeps the kernel under the 16 MB scoped-vmem stack limit at the
+        # (4, 2304) and (3, 4608) bench classes (H=4T compiles to 17.5M /
+        # 19.5M scoped; scripts/dev_v4_vmem_probe.py)
+        H = min(2 * T, m) if H_arg is None else min(H_arg, m)
         n_panels = _cdiv(min(S, n_cols - q), nb)
         Aw = jax.lax.dynamic_slice(Ap, (0, q, q), (K, m, m))
 

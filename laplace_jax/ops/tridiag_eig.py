@@ -479,11 +479,13 @@ def _stage1_impl(n: int, stage1: str) -> str:
     everything else uses the XLA path. Override via LAPLACE_TS_STAGE1.
     """
     env = os.environ.get("LAPLACE_TS_STAGE1")
-    if env in ("pallas", "xla"):
+    if env in ("pallas", "pallas_v4", "xla"):
         return env
     if stage1 != "auto":
         return stage1
-    return "pallas" if jax.default_backend() == "tpu" and n >= 512 else "xla"
+    if jax.default_backend() != "tpu" or n < 512:
+        return "xla"
+    return "pallas"
 
 
 @functools.partial(
@@ -503,7 +505,14 @@ def eigh_stack_ts(stack: jnp.ndarray, nb: int = 64, base_size: int = 48,
     `stage1` picks the tridiagonalization: "auto" (Pallas LATRD kernel on
     TPU for n >= 512, XLA otherwise), "pallas", or "xla"."""
     with jax.default_matmul_precision("float32"):
-        if _stage1_impl(stack.shape[-1], stage1) == "pallas":
+        impl = _stage1_impl(stack.shape[-1], stage1)
+        if impl == "pallas_v4":
+            from laplace_jax.ops.latrd_pallas_v4 import (
+                tridiagonalize_pallas_v4,
+            )
+
+            d, e, V, taus = tridiagonalize_pallas_v4(stack, nb=nb)
+        elif impl == "pallas":
             from laplace_jax.ops.latrd_pallas import tridiagonalize_pallas
 
             d, e, V, taus = tridiagonalize_pallas(stack, nb=nb)

@@ -53,29 +53,35 @@ if len(sys.argv) > 1:
 if len(sys.argv) > 2:
     H = int(sys.argv[2])
 
+def tri_spectrum(d, e):
+    d64, e64 = np.asarray(d, np.float64), np.asarray(e, np.float64)
+    return np.stack([
+        sla.eigh_tridiagonal(d64[i], e64[i], eigvals_only=True)
+        for i in range(d64.shape[0])
+    ])
+
+
 for k, n in classes:
     st = mk(k, n)
-    ew_true = np.linalg.eigvalsh(np.asarray(st, np.float64))
     v4 = lambda s: tridiagonalize_pallas_v4(s, H=H)
-    t0 = time.perf_counter()
-    d4, e4, V4, t4 = v4(st)
-    sync(t4)
-    print(f"({k},{n}) v4 first call (incl compile): "
-          f"{time.perf_counter() - t0:.1f}s", flush=True)
-    d64 = np.asarray(d4, np.float64)
-    e64 = np.asarray(e4, np.float64)
-    scale = float(np.abs(ew_true).max())
-    err = max(
-        np.abs(sla.eigh_tridiagonal(d64[i], e64[i], eigvals_only=True)
-               - ew_true[i]).max()
-        for i in range(k)
-    ) / scale
-    print(f"  v4 tridiagonal spectrum err {err:.2e}", flush=True)
-    assert err < 3e-5
     t0 = time.perf_counter()
     out1 = tridiagonalize_pallas(st)
     sync(out1[3])
-    print(f"  v1 first call: {time.perf_counter() - t0:.1f}s", flush=True)
+    print(f"({k},{n}) v1 first call: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    # oracle: v1's tridiagonal spectrum (LAPACK-verified in the test
+    # suite) — the dense f64 eigvalsh is minutes of single-core CPU at
+    # the 4608 class and adds nothing here
+    ew_ref = tri_spectrum(out1[0], out1[1])
+    t0 = time.perf_counter()
+    d4, e4, V4, t4 = v4(st)
+    sync(t4)
+    print(f"  v4 first call (incl compile): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    scale = float(np.abs(ew_ref).max())
+    err = float(np.abs(tri_spectrum(d4, e4) - ew_ref).max()) / scale
+    print(f"  v4 vs v1 spectrum err {err:.2e}", flush=True)
+    assert err < 3e-5
     t_1, _ = med(tridiagonalize_pallas, st)
     t_4, _ = med(v4, st)
     print(f"  V1 {t_1:.3f}s   V4 {t_4:.3f}s   ({t_1 / t_4:.2f}x)",
