@@ -113,6 +113,14 @@ def get_torch_baseline() -> dict:
     )
     line = out.stdout.strip().splitlines()[-1]
     data = json.loads(line)
+    # bench_torch_baseline.py fault-isolates its phases, so a crashed phase
+    # yields a JSON line missing that key. Merge over any previous cache so a
+    # metric measured once is never lost, and never clobber a complete cache
+    # with a partial regeneration.
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            prev = json.load(f)
+        data = {**prev, **data}
     with open(BASELINE_FILE, "w") as f:
         json.dump(data, f)
     return data
@@ -136,7 +144,9 @@ def main() -> None:
     for k in BASELINE_KEYS:
         if k in baseline:
             result[k] = round(float(baseline[k]), 2)
-    torch_sec = float(baseline["torch_cpu_kfac_fit_sec"])
+    # 0.0 if the kfac comparator phase crashed: the headline then reports
+    # value without vs_baseline instead of dying with a KeyError
+    torch_sec = float(baseline.get("torch_cpu_kfac_fit_sec", 0.0))
     status(f"torch baseline ready at +{time.monotonic() - t_setup:.0f}s")
 
     # the bench must measure the production decompose path, not the
@@ -201,7 +211,8 @@ def main() -> None:
         kfac_sec = sorted(runs)[len(runs) // 2]
         result["value"] = kfac_sec
         result["value_runs"] = runs
-        result["vs_baseline"] = round(torch_sec / kfac_sec, 2)
+        if torch_sec > 0:
+            result["vs_baseline"] = round(torch_sec / kfac_sec, 2)
 
     if result["value"] is None:
         # headline failed or never ran: nothing downstream can use `la`

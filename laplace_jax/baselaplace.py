@@ -437,6 +437,10 @@ class BaseLaplace:
         cache_key = (
             entry, str(likelihood), bool(joint), str(link_approx),
             int(n_samples), bool(diagonal_output), self.enable_backprop,
+            # temperature is a trace-time constant inside `_H_factor`-style
+            # closures (unlike prior_precision/sigma_noise, which are jit
+            # arguments via the state pytree), so it must key the program.
+            float(self.temperature),
         )
         prog = self._pred_programs.get(cache_key)
         if prog is not None:

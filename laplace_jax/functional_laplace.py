@@ -644,12 +644,14 @@ class FunctionalLaplace(BaseLaplace):
         self._sod_x = state_dict.get("_sod_x", None)
         self._prior_factor_sod = state_dict["_prior_factor_sod"]
         self._fitted = state_dict["_fitted"]
-        self._recompute_Sigma = state_dict["_recompute_Sigma"]
         self.mu = state_dict["mu"]
         self.L = state_dict["L"]
         self.loss = state_dict["loss"]
         self.prior_mean = state_dict["prior_mean"]
         self.prior_precision = state_dict["prior_precision"]
+        # Must come after the prior_precision line: that setter flips
+        # _recompute_Sigma to True, which would discard the saved Cholesky.
+        self._recompute_Sigma = state_dict["_recompute_Sigma"]
         self.sigma_noise = state_dict["sigma_noise"]
         self.n_data = state_dict["n_data"]
         self.n_outputs = state_dict["n_outputs"]

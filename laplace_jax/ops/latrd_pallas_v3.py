@@ -369,9 +369,15 @@ def _tridiagonalize_v3_body(A, _bdiag, *, nb, n_classes, T, interpret):
     dtype = A.dtype
 
     nb = max(8, min(nb, n))
+    nb -= nb % 8  # 8-row sublane alignment, as in v4
     # class granularity is a multiple of T so every window size m (and so
-    # every k*m lane offset and tile boundary) is T-aligned
-    S = max(nb, T, _cdiv(_cdiv(n, n_classes), T) * T)
+    # every k*m lane offset and tile boundary) is T-aligned; the nb term
+    # must round up to T too or a user nb > the class term breaks alignment
+    S = max(_cdiv(nb, T) * T, T, _cdiv(_cdiv(n, n_classes), T) * T)
+    # panels must tile a class exactly (off = t*nb stays inside S): shrink
+    # nb to a divisor of S; 8 always divides S (a multiple of T >= 128)
+    while S % nb:
+        nb -= 8
     n_pad = _cdiv(n, S) * S
     Ap = jnp.zeros((K, n_pad, n_pad), dtype).at[:, :n, :n].set(A)
     d = jnp.zeros((K, n_pad), dtype)

@@ -366,10 +366,19 @@ def _tridiagonalize_v4_body(A, _bdiag, *, nb, n_classes, T, H, interpret):
     K, n, _ = A.shape
     dtype = A.dtype
 
+    # the kernel's U/W panel writes are 8-row aligned RMW slices, so the
+    # panel width must be a multiple of 8 (round down: more panels, same math)
     nb = max(8, min(nb, n))
+    nb -= nb % 8
     # class granularity is a multiple of T so every window size m (and so
-    # every k*m lane offset and chunk boundary) is T-aligned
-    S = max(nb, T, _cdiv(_cdiv(n, n_classes), T) * T)
+    # every k*m lane offset and chunk boundary) is T-aligned; the nb term
+    # must round up to T too or a user nb > the class term breaks alignment
+    S = max(_cdiv(nb, T) * T, T, _cdiv(_cdiv(n, n_classes), T) * T)
+    # panels must tile a class exactly (off = t*nb stays inside S, and d/e/V
+    # writes never spill into the next class): shrink nb to a divisor of S.
+    # 8 always divides S (S is a multiple of T, itself a multiple of 128).
+    while S % nb:
+        nb -= 8
     n_pad = _cdiv(n, S) * S
     Ap = jnp.zeros((K, n_pad, n_pad), dtype).at[:, :n, :n].set(A)
     d = jnp.zeros((K, n_pad), dtype)
@@ -387,7 +396,10 @@ def _tridiagonalize_v4_body(A, _bdiag, *, nb, n_classes, T, H, interpret):
         # keeps the kernel under the 16 MB scoped-vmem stack limit at the
         # (4, 2304) and (3, 4608) bench classes (H=4T compiles to 17.5M /
         # 19.5M scoped; scripts/dev_v4_vmem_probe.py)
-        H = min(2 * T, m) if H_arg is None else min(H_arg, m)
+        # a user H is rounded up to a multiple of T (the strip-chunk DMA
+        # bases carry a pl.multiple_of(., T) alignment promise, and
+        # h = H // T must be >= 1); m is a multiple of T so min() preserves it
+        H = min(2 * T, m) if H_arg is None else min(_cdiv(H_arg, T) * T, m)
         n_panels = _cdiv(min(S, n_cols - q), nb)
         Aw = jax.lax.dynamic_slice(Ap, (0, q, q), (K, m, m))
 

@@ -506,6 +506,19 @@ def eigh_stack_ts(stack: jnp.ndarray, nb: int = 64, base_size: int = 48,
     TPU for n >= 512, XLA otherwise), "pallas", or "xla"."""
     with jax.default_matmul_precision("float32"):
         impl = _stage1_impl(stack.shape[-1], stage1)
+        if impl == "pallas":
+            # the v1 panel kernel writes the U/W panel in 8-row RMW slices
+            # and tiles each 128-aligned window class with `nb`-wide panels,
+            # so nb must be a multiple of 8 that divides the class size
+            # (= max(128, ceil(n/4) rounded up to 128), v1's n_classes=4
+            # default). Normalize here: the kernel file itself is
+            # edit-frozen — Mosaic payloads embed its source locations
+            # (docs/performance.md), so it cannot self-validate.
+            n_ = stack.shape[-1]
+            cls = max(128, -(-(-(-n_ // 4)) // 128) * 128)  # ceil/ceil/align
+            nb = min(max(8, nb) & ~7, cls)
+            while cls % nb:
+                nb -= 8
         if impl == "pallas_v4":
             from laplace_jax.ops.latrd_pallas_v4 import (
                 tridiagonalize_pallas_v4,

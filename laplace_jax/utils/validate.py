@@ -32,8 +32,12 @@ def validate(
         try:
             sig = inspect.signature(loss.update)
             update_takes_var = _accepts_n_positional(sig, 3)
-        except (TypeError, ValueError):  # builtins / C extensions: assume 2-arg
-            update_takes_var = False
+        except (TypeError, ValueError):
+            # Builtins / C extensions with no introspectable signature: fall
+            # back to legacy call-probing (3-arg first, retry on TypeError).
+            # Only this narrow case keeps the probe; Python metrics with a
+            # real signature never have internal TypeErrors swallowed.
+            update_takes_var = None
     output_means, output_vars, targets = [], [], []
 
     for data in val_loader:
@@ -47,7 +51,14 @@ def validate(
         )
         if isinstance(out, tuple):
             if is_online:
-                if update_takes_var:
+                if update_takes_var is None:  # uninspectable: probe once
+                    try:
+                        loss.update(out[0], out[1], jnp.asarray(y))
+                        update_takes_var = True
+                    except TypeError:
+                        update_takes_var = False
+                        loss.update(out[0], jnp.asarray(y))
+                elif update_takes_var:
                     loss.update(out[0], out[1], jnp.asarray(y))
                 else:
                     loss.update(out[0], jnp.asarray(y))

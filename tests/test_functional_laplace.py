@@ -203,3 +203,28 @@ def test_gp_gridsearch(model):
     assert float(la.prior_precision[0]) > 0
     probs = la(X[:4], link_approx="probit")
     assert np.isfinite(np.asarray(probs)).all()
+
+
+def test_gp_load_preserves_recompute_flag(model, recwarn):
+    """load_state_dict must not leave `_recompute_Sigma` True: the
+    `prior_precision` setter flips it as a side effect, so the restore has
+    to come after (regression: a round-5 'duplicate assignment' cleanup
+    removed the load-bearing second restore)."""
+    import warnings as _w
+
+    X, y = classification_data(n=10)
+    loader = ArrayLoader(np.asarray(X), np.asarray(y), batch_size=5)
+    la = FunctionalLaplace(model, "classification", n_subset=10)
+    la.fit(loader)
+    _ = la(X[:2], link_approx="probit")  # Sigma computed; flag now False
+    sd = la.state_dict()
+    assert sd["_recompute_Sigma"] is False or not sd["_recompute_Sigma"]
+    la2 = FunctionalLaplace(model, "classification", n_subset=10)
+    la2.load_state_dict(sd)
+    assert not la2._recompute_Sigma
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)  # spurious recompute warns
+        try:
+            la2(X[:2], link_approx="probit")
+        except UserWarning as w:  # pragma: no cover - assertion context
+            raise AssertionError(f"spurious warning after load: {w}")

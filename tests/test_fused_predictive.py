@@ -149,3 +149,21 @@ def test_backprop_through_fused():
     gr = jax.grad(loss)(jnp.asarray(X[:3]))
     assert np.isfinite(np.asarray(gr)).all()
     assert float(jnp.abs(gr).sum()) > 0
+
+
+@pytest.mark.parametrize("hs", ["full", "kron", "diag"])
+def test_temperature_change_rebuilds_program(hs):
+    """temperature is a trace-time constant in the fused program, so changing
+    it must key a NEW program (fused == eager after the change)."""
+    la, xt = _fit("classification", "all", hs)
+    before = np.asarray(la(xt, link_approx="probit"))
+    la.temperature = 3.0
+    hot = np.asarray(la(xt, link_approx="probit"))
+    ref = np.asarray(_eager(la, lambda: la(xt, link_approx="probit")))
+    np.testing.assert_allclose(hot, ref, atol=1e-6)
+    if hs != "full":
+        # kron/diag recompute the posterior from H on every predictive, so
+        # the new temperature acts immediately; FullLaplace caches its
+        # posterior scale at fit time (same as the eager path — parity
+        # above is the contract, not post-fit temperature sensitivity)
+        assert np.abs(hot - before).max() > 1e-4

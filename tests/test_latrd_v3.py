@@ -98,3 +98,9 @@ def test_v3_feeds_stage2():
                    vecs.astype(np.float64))
     res = Av - lam[:, None, :] * vecs
     assert np.abs(res).max() < 5e-4
+
+
+def test_v3_nb_larger_than_class_granularity():
+    """Same S-rounding invariant as v4: nb > the T-rounded class term."""
+    rng = np.random.default_rng(7)
+    _check(_sym_stack(rng, 2, 300), nb=200, n_classes=4, T=128)

@@ -108,3 +108,24 @@ def test_v4_feeds_stage2():
                    vecs.astype(np.float64))
     res = Av - lam[:, None, :] * vecs
     assert np.abs(res).max() < 5e-4
+
+
+def test_v4_nb_not_multiple_of_8_rounds_down():
+    """The kernel's U/W panel writes are 8-row RMW slices; a user nb=20
+    must round to 16 instead of writing past the (2nb, KM) panel."""
+    rng = np.random.default_rng(6)
+    _check(_sym_stack(rng, 2, 130), nb=20)
+
+
+def test_v4_nb_larger_than_class_granularity():
+    """nb above the T-rounded class size: S must round the nb term up to a
+    multiple of T or the (K*m, nt, T) tile reshape fails at trace time."""
+    rng = np.random.default_rng(7)
+    _check(_sym_stack(rng, 2, 300), nb=200, n_classes=4, T=128)
+
+
+def test_v4_ragged_H_rounds_to_tile():
+    """H=100 < T=128 used to give h = H//T = 0 (ZeroDivisionError) and a
+    false pl.multiple_of alignment promise; it must round up to T."""
+    rng = np.random.default_rng(8)
+    _check(_sym_stack(rng, 2, 300), nb=32, n_classes=3, T=128, H=100)
