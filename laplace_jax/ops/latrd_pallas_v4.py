@@ -34,6 +34,23 @@ conventions — matches v1/v3, so `tridiag.apply_q` and the D&C stage 2
 consume the outputs unchanged. Reference math consumed downstream:
 `/root/reference/laplace/utils/matrix.py:123-150`.
 
+Measured on v5e vs the production v1 (`scripts/profile_latrd_v4.py`,
+median-of-5, warm): 1.01x at (4,512), 0.99x at (4,1152), **1.17x at
+(4,2304), 1.10x at (3,4608)** — the auto dispatcher picks v4 from
+n >= 2304 (`tridiag_eig._stage1_impl`). Tuning sweeps that did NOT pay
+(`scripts/dev_v4_param_sweep.py`, `dev_v4_vmem_probe.py`):
+
+- Bigger strip chunks: H=3T fits scoped vmem only at (4,2304) and is
+  SLOWER there (0.259s vs 0.240s); at (3,4608) it needs nb=32 and loses
+  (0.925s vs 0.857s). Per-chunk cost scales with bytes, not count.
+- `chunk_precision="default"` (1-pass bf16 strip products instead of the
+  6-pass f32 HIGHEST): only 0.857 -> 0.740s at (3,4608) — so the MXU
+  pass count is a minor term; the floor is per-chunk fixed cost (DMA
+  issue + dynamic-lane RMW of the av accumulator) — and the tridiagonal
+  spectrum drifts 2.3e-4 relative (vs HIGHEST's 1.4e-7 against v1),
+  far outside the 3e-5 oracle tolerance. Rejected for production; the
+  knob stays for measurement.
+
 This file is separate from v1/v3 on purpose: Mosaic kernel payloads
 embed source locations, so sharing a file would invalidate every cached
 executable on any line shift (docs/performance.md, round-4 lesson).
@@ -58,7 +75,8 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _panel_kernel(off_ref, A_ref, A2_ref, uwt_ref, out_ref,
-                  *, K: int, m: int, nb: int, T: int, H: int):
+                  *, K: int, m: int, nb: int, T: int, H: int,
+                  chunk_prec: jax.lax.Precision):
     KM = K * m
     dtype = uwt_ref.dtype
     off = off_ref[0]  # panel's first window-relative column
@@ -213,7 +231,7 @@ def _panel_kernel(off_ref, A_ref, A2_ref, uwt_ref, out_ref,
                     part1 = jax.lax.dot_general(
                         vs, chunk, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=chunk_prec,
                     ).astype(dtype)  # (8, H)
                     part1 = jnp.where(lH < m - base_l, part1, 0.0)
                     idx_r = pl.ds(pl.multiple_of(k * m + base_l, T), H)
@@ -228,7 +246,7 @@ def _panel_kernel(off_ref, A_ref, A2_ref, uwt_ref, out_ref,
                     part2 = jax.lax.dot_general(
                         vr, chunk, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=chunk_prec,
                     ).astype(dtype)  # (8, T)
                     idx_s = pl.ds(pl.multiple_of(k * m + si * T, T), T)
                     av[:, idx_s] = av[:, idx_s] + part2
@@ -295,10 +313,11 @@ def _panel_kernel(off_ref, A_ref, A2_ref, uwt_ref, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("K", "m", "nb", "T", "H", "interpret")
+    jax.jit, static_argnames=("K", "m", "nb", "T", "H", "chunk_precision",
+                              "interpret")
 )
 def latrd_panel_v4(Aw, A2p, off, q_base, n_real, *, K, m, nb, T, H,
-                   interpret=False):
+                   chunk_precision="highest", interpret=False):
     """One LATRD panel on the (K, m, m) trailing window, columns
     [off, off + nb) (window-relative, traced). `A2p` is the col-tile-major
     transpose of the window padded with H zero rows per plane, shape
@@ -306,7 +325,12 @@ def latrd_panel_v4(Aw, A2p, off, q_base, n_real, *, K, m, nb, T, H,
     columns [d(8) | e(8) | tau(8)] carrying per-k values in the first K
     slots."""
     dtype = Aw.dtype
-    kernel = functools.partial(_panel_kernel, K=K, m=m, nb=nb, T=T, H=H)
+    kernel = functools.partial(
+        _panel_kernel, K=K, m=m, nb=nb, T=T, H=H,
+        chunk_prec={"highest": jax.lax.Precision.HIGHEST,
+                    "high": jax.lax.Precision.HIGH,
+                    "default": jax.lax.Precision.DEFAULT}[chunk_precision],
+    )
     scal = jnp.stack([
         jnp.asarray(off, jnp.int32), jnp.asarray(q_base, jnp.int32),
         jnp.asarray(n_real, jnp.int32),
@@ -331,11 +355,13 @@ def latrd_panel_v4(Aw, A2p, off, q_base, n_real, *, K, m, nb, T, H,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "n_classes", "T", "H", "interpret")
+    jax.jit, static_argnames=("nb", "n_classes", "T", "H", "chunk_precision",
+                              "interpret")
 )
 def tridiagonalize_pallas_v4(A: jnp.ndarray, nb: int = 64,
                              n_classes: int = 4, T: int | None = None,
                              H: int | None = None,
+                             chunk_precision: str = "highest",
                              interpret: bool = False):
     """Drop-in for `tridiag.tridiagonalize` with the symmetric-half strip
     streaming panel kernel. Same outputs/convention as v1/v3; `apply_q`
@@ -358,11 +384,12 @@ def tridiagonalize_pallas_v4(A: jnp.ndarray, nb: int = 64,
     with jax.default_matmul_precision("float32"):
         return _tridiagonalize_v4_body(
             A, _bdiag, nb=nb, n_classes=n_classes, T=T, H=H,
-            interpret=interpret,
+            chunk_precision=chunk_precision, interpret=interpret,
         )
 
 
-def _tridiagonalize_v4_body(A, _bdiag, *, nb, n_classes, T, H, interpret):
+def _tridiagonalize_v4_body(A, _bdiag, *, nb, n_classes, T, H,
+                            chunk_precision, interpret):
     K, n, _ = A.shape
     dtype = A.dtype
 
@@ -414,7 +441,7 @@ def _tridiagonalize_v4_body(A, _bdiag, *, nb, n_classes, T, H, interpret):
                 [A2, jnp.zeros((nt, H, T), dtype)], axis=1)
             UWT, det = latrd_panel_v4(
                 Aw, A2p, off, q, n, K=K, m=m, nb=nb, T=T, H=H,
-                interpret=interpret,
+                chunk_precision=chunk_precision, interpret=interpret,
             )
             U = jnp.transpose(UWT[:nb].reshape(nb, K, m), (1, 2, 0))
             W = jnp.transpose(UWT[nb:].reshape(nb, K, m), (1, 2, 0))

@@ -475,8 +475,14 @@ def _stage1_impl(n: int, stage1: str) -> str:
     XLA formulation on every measured bench class on v5e — 1.50x at (4,1152),
     1.35x at (4,2304), 1.48x at (3,4608), `scripts/profile_latrd_pallas.py` —
     because the per-column inner loop runs as VLIW code with the U/W panel
-    VMEM-resident instead of ~45 dispatched HLO ops/column. It is TPU-only;
-    everything else uses the XLA path. Override via LAPLACE_TS_STAGE1.
+    VMEM-resident instead of ~45 dispatched HLO ops/column.
+
+    "pallas_v4" (`ops/latrd_pallas_v4.py`) streams only the symmetric half
+    of the trailing window as contiguous column strips; it beats v1 at the
+    large classes — 1.17x at (4,2304), 1.10x at (3,4608) — and ties below
+    (0.99-1.01x at 512-1152, `scripts/profile_latrd_v4.py`), so auto picks
+    it from n >= 2304. Both kernels are TPU-only; everything else uses the
+    XLA path. Override via LAPLACE_TS_STAGE1.
     """
     env = os.environ.get("LAPLACE_TS_STAGE1")
     if env in ("pallas", "pallas_v4", "xla"):
@@ -485,7 +491,7 @@ def _stage1_impl(n: int, stage1: str) -> str:
         return stage1
     if jax.default_backend() != "tpu" or n < 512:
         return "xla"
-    return "pallas"
+    return "pallas_v4" if n >= 2304 else "pallas"
 
 
 @functools.partial(

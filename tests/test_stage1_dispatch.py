@@ -41,3 +41,16 @@ def test_auto_on_cpu_is_xla(clean_env):
         pytest.skip("CPU-backend-specific expectation")
     for n in (64, 512, 4608):
         assert _stage1_impl(n, "auto") == "xla"
+
+
+def test_auto_on_tpu_table(clean_env, monkeypatch):
+    # pin the measured auto table (docs/performance.md): XLA below 512,
+    # v1 at 512-2303, v4 (symmetric-half strips) from 2304
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _stage1_impl(256, "auto") == "xla"
+    assert _stage1_impl(512, "auto") == "pallas"
+    assert _stage1_impl(1152, "auto") == "pallas"
+    assert _stage1_impl(2304, "auto") == "pallas_v4"
+    assert _stage1_impl(4608, "auto") == "pallas_v4"
